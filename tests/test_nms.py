@@ -1,0 +1,139 @@
+"""NMS correctness: tiled fixpoint vs scan spec vs a plain numpy greedy oracle."""
+
+import numpy as np
+import pytest
+
+from yolov5_tpu.ops.nms import (
+    _greedy_nms_scan,
+    _greedy_nms_tiled,
+    detections_to_numpy,
+    non_max_suppression,
+)
+
+
+def numpy_greedy_nms(boxes, scores, iou_thres):
+    """Straight-line greedy NMS oracle (sorted input, returns keep mask)."""
+    k = len(boxes)
+    keep = np.zeros(k, bool)
+    for i in range(k):
+        if scores[i] <= 0:
+            continue
+        ok = True
+        for j in range(i):
+            if keep[j]:
+                # iou
+                xx1 = max(boxes[i, 0], boxes[j, 0])
+                yy1 = max(boxes[i, 1], boxes[j, 1])
+                xx2 = min(boxes[i, 2], boxes[j, 2])
+                yy2 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(0.0, xx2 - xx1) * max(0.0, yy2 - yy1)
+                a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / (a1 + a2 - inter + 1e-7) > iou_thres:
+                    ok = False
+                    break
+        keep[i] = ok
+    return keep
+
+
+def random_sorted_boxes(rng, k, span=200.0):
+    xy = rng.uniform(0, span, (k, 2))
+    wh = rng.uniform(5, 60, (k, 2))
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = np.sort(rng.uniform(0.01, 1.0, k).astype(np.float32))[::-1].copy()
+    return boxes, scores
+
+
+@pytest.mark.parametrize("k", [17, 128, 300])
+@pytest.mark.parametrize("thres", [0.3, 0.5, 0.7])
+def test_greedy_matches_oracle(rng, k, thres):
+    boxes, scores = random_sorted_boxes(rng, k)
+    oracle = numpy_greedy_nms(boxes, scores, thres)
+    scan = np.asarray(_greedy_nms_scan(boxes, scores, thres))
+    tiled = np.asarray(_greedy_nms_tiled(boxes, scores, thres, tile=64))
+    np.testing.assert_array_equal(scan, oracle)
+    np.testing.assert_array_equal(tiled, oracle)
+
+
+def test_tiled_handles_padding_scores(rng):
+    boxes, scores = random_sorted_boxes(rng, 100)
+    scores[60:] = 0.0  # padding region
+    oracle = numpy_greedy_nms(boxes, scores, 0.5)
+    tiled = np.asarray(_greedy_nms_tiled(boxes, scores, 0.5, tile=32))
+    np.testing.assert_array_equal(tiled, oracle)
+    assert not tiled[60:].any()
+
+
+def test_suppression_chain():
+    """Chain where greedy revives every other box — catches naive fixpoints."""
+    n = 12
+    boxes = np.stack(
+        [np.arange(n) * 5.0, np.zeros(n), np.arange(n) * 5.0 + 10, np.full(n, 10.0)], axis=1
+    ).astype(np.float32)  # each box overlaps its neighbor by 50% iou 1/3
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    oracle = numpy_greedy_nms(boxes, scores, 0.3)
+    assert oracle.tolist() == [i % 2 == 0 for i in range(n)]
+    tiled = np.asarray(_greedy_nms_tiled(boxes, scores, 0.3, tile=4))
+    np.testing.assert_array_equal(tiled, oracle)
+
+
+def make_prediction(rng, bs=2, n=400, nc=3, nm=0):
+    """Synthesize a decoded head output (bs, n, 5+nc+nm)."""
+    pred = np.zeros((bs, n, 5 + nc + nm), np.float32)
+    xy = rng.uniform(50, 250, (bs, n, 2))
+    wh = rng.uniform(10, 50, (bs, n, 2))
+    pred[..., 0:2] = xy
+    pred[..., 2:4] = wh
+    pred[..., 4] = rng.uniform(0, 1, (bs, n))
+    cls = rng.uniform(0, 1, (bs, n, nc))
+    pred[..., 5 : 5 + nc] = cls
+    if nm:
+        pred[..., 5 + nc :] = rng.normal(size=(bs, n, nm))
+    return pred
+
+
+def test_nms_end_to_end(rng):
+    pred = make_prediction(rng)
+    dets = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_nms=512, max_det=50)
+    assert dets.boxes.shape == (2, 50, 4)
+    out = detections_to_numpy(dets)
+    assert len(out) == 2
+    for rows in out:
+        assert rows.shape[1] == 6
+        # scores sorted descending, all above threshold
+        assert (np.diff(rows[:, 4]) <= 1e-6).all()
+        assert (rows[:, 4] > 0.25).all()
+        # no two same-class boxes overlap above iou_thres
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i, 5] != rows[j, 5]:
+                    continue
+                keep = numpy_greedy_nms(
+                    rows[[i, j], :4], np.array([1.0, 0.9], np.float32), 0.45
+                )
+                assert keep.all(), "overlapping same-class detections survived"
+
+
+def test_nms_multi_label_emits_multiple_classes(rng):
+    pred = make_prediction(rng, bs=1, n=50, nc=4)
+    pred[0, :, 4] = 0.9
+    pred[0, :, 5:9] = 0.9  # every class equally confident
+    dets = non_max_suppression(pred, multi_label=True, conf_thres=0.3, max_nms=512, max_det=100)
+    out = detections_to_numpy(dets)[0]
+    # the same physical box should appear under several classes
+    assert len(np.unique(out[:, 5])) > 1
+
+
+def test_nms_agnostic_vs_per_class(rng):
+    pred = make_prediction(rng, bs=1, n=100, nc=3)
+    per_class = non_max_suppression(pred, agnostic=False, max_nms=256)
+    agnostic = non_max_suppression(pred, agnostic=True, max_nms=256)
+    assert int(agnostic.counts[0]) <= int(per_class.counts[0])
+
+
+def test_nms_mask_coeff_passthrough(rng):
+    pred = make_prediction(rng, bs=1, n=60, nc=2, nm=8)
+    dets = non_max_suppression(pred, nc=2, max_nms=128, max_det=20)
+    assert dets.masks.shape == (1, 20, 8)
+    out = detections_to_numpy(dets)[0]
+    assert out.shape[1] == 14

@@ -1,0 +1,265 @@
+"""On-device non-maximum suppression with static shapes.
+
+The reference's NMS (see /root/reference/utils/general.py:658-767) is a
+per-image Python loop around `torchvision.ops.nms` — a host/device ping-pong
+that is hostile to TPUs. Here the whole postprocess (confidence gating,
+multi-label expansion, class-offset trick, greedy suppression, max_det
+padding) is one jitted, fully-batched program: every shape is static, so XLA
+compiles it once per (batch, candidates) configuration and it runs with no
+host round-trips.
+
+Greedy NMS is inherently sequential; we recover parallelism with a tiled
+fixpoint scheme: candidates are sorted by score and processed in tiles of
+``T``. Boxes kept in earlier tiles suppress the current tile in one batched
+IoU pass; within a tile, alive/dead states are resolved by iterating a sound
+monotone dataflow (a box is DEAD once an ALIVE earlier box overlaps it; ALIVE
+once all its earlier overlappers are DEAD) which converges to exactly the
+sequential greedy result. A plain `lax.scan` implementation is kept as the
+executable spec (`_greedy_nms_scan`) and the two are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.ops.boxes import box_iou, xywh2xyxy
+
+# Class-offset width: boxes of different classes are translated apart by
+# class_id * MAX_WH so one class-agnostic pass does per-class NMS.
+MAX_WH = 7680.0
+
+
+class Detections(NamedTuple):
+    """Padded NMS output. Entries with ``valid == False`` are padding."""
+
+    boxes: jax.Array  # (bs, max_det, 4) xyxy, letterbox space
+    scores: jax.Array  # (bs, max_det)
+    classes: jax.Array  # (bs, max_det) int32
+    masks: jax.Array  # (bs, max_det, nm) mask coefficients (nm may be 0)
+    valid: jax.Array  # (bs, max_det) bool
+
+    @property
+    def counts(self):
+        return self.valid.sum(axis=-1)
+
+
+def _greedy_nms_scan(boxes, scores, iou_thres):
+    """Executable spec: exact sequential greedy NMS via lax.scan.
+
+    ``boxes`` (K, 4) xyxy sorted by descending score; ``scores`` (K,) with
+    padding entries <= 0. Returns keep mask (K,) bool.
+    """
+    boxes, scores = jnp.asarray(boxes), jnp.asarray(scores)
+    k = boxes.shape[0]
+    iou = box_iou(boxes, boxes)  # (K, K)
+
+    def step(keep, i):
+        earlier = jnp.arange(k) < i
+        suppressed = jnp.any(earlier & keep & (iou[:, i] > iou_thres))
+        keep = keep.at[i].set(jnp.logical_not(suppressed) & (scores[i] > 0))
+        return keep, None
+
+    keep, _ = jax.lax.scan(step, jnp.zeros(k, bool), jnp.arange(k))
+    return keep
+
+
+def _resolve_tile(iou_gt, dead0):
+    """Resolve alive/dead inside one tile by monotone fixpoint iteration.
+
+    ``iou_gt`` (T, T) bool: iou_gt[i, j] means earlier box i overlaps j above
+    threshold (strictly upper-triangular). ``dead0`` (T,) bool marks boxes
+    already suppressed by earlier tiles. Returns alive mask (T,) equal to the
+    sequential greedy result.
+    """
+    t = iou_gt.shape[0]
+
+    def cond(state):
+        alive, dead, it = state
+        return jnp.logical_and(it < t, jnp.any(~(alive | dead)))
+
+    def body(state):
+        alive, dead, it = state
+        unknown = ~(alive | dead)
+        # j dies if some ALIVE earlier box overlaps it.
+        dies = jnp.any(alive[:, None] & iou_gt, axis=0)
+        new_dead = dead | dies
+        # j is alive once no ALIVE-or-UNKNOWN earlier box overlaps it.
+        blocked = jnp.any((alive | unknown)[:, None] & iou_gt, axis=0)
+        new_alive = alive | (~blocked & ~new_dead)
+        return new_alive, new_dead, it + 1
+
+    alive0 = jnp.zeros(t, bool)
+    alive, _, _ = jax.lax.while_loop(cond, body, (alive0, dead0, 0))
+    return alive
+
+
+def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256):
+    """Exact greedy NMS over score-sorted boxes, tiled for TPU efficiency.
+
+    Sequential depth is O(K/T + fixpoint iterations) instead of O(K).
+    Returns keep mask (K,) bool.
+    """
+    k = boxes.shape[0]
+    if k % tile:
+        pad = tile - k % tile
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad))
+    kp = boxes.shape[0]
+    num_tiles = kp // tile
+    positions = jnp.arange(kp)
+
+    def tile_step(keep, ti):
+        start = ti * tile
+        tb = jax.lax.dynamic_slice(boxes, (start, 0), (tile, 4))
+        ts = jax.lax.dynamic_slice(scores, (start,), (tile,))
+        # Suppression by boxes kept in earlier tiles (one batched IoU pass).
+        prev_alive = keep & (positions < start)
+        cross_iou = box_iou(boxes, tb)  # (Kp, T)
+        dead0 = jnp.any(prev_alive[:, None] & (cross_iou > iou_thres), axis=0)
+        dead0 = dead0 | (ts <= 0)  # padding / gated-out candidates never keep
+        # Within-tile resolution: only earlier-index boxes suppress.
+        self_iou = box_iou(tb, tb)
+        upper = jnp.arange(tile)[:, None] < jnp.arange(tile)[None, :]
+        alive = _resolve_tile(upper & (self_iou > iou_thres), dead0)
+        keep = jax.lax.dynamic_update_slice(keep, alive, (start,))
+        return keep, None
+
+    keep, _ = jax.lax.scan(tile_step, jnp.zeros(kp, bool), jnp.arange(num_tiles))
+    return keep[:k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "conf_thres",
+        "iou_thres",
+        "multi_label",
+        "agnostic",
+        "max_det",
+        "max_nms",
+        "nc",
+        "impl",
+    ),
+)
+def non_max_suppression(
+    prediction,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    nc: int | None = None,
+    class_filter=None,
+    impl: str = "tiled",
+) -> Detections:
+    """Batched NMS on decoded predictions.
+
+    Args:
+      prediction: (bs, N, 5 + nc + nm) — xywh box, objectness, class scores,
+        optional mask coefficients (the decoded Detect/Segment head output,
+        reference semantics per utils/general.py:658).
+      conf_thres: candidate gate on obj*cls confidence.
+      iou_thres: suppression IoU threshold.
+      multi_label: emit one candidate per (box, class) above threshold
+        (the reference enables this for mAP eval when nc > 1).
+      agnostic: class-agnostic suppression (no class offset).
+      max_det: padded output size per image.
+      max_nms: candidates entering suppression (score top-k), static.
+      nc: number of classes; inferred as no-5 when mask coeffs absent.
+      class_filter: optional (nc,) bool array — keep only these classes.
+      impl: "tiled" (default) or "scan" (executable spec, for tests).
+
+    Returns a `Detections` namedtuple of fixed-shape padded arrays.
+    """
+    bs, n, no = prediction.shape
+    if nc is None:
+        nc = no - 5
+    nm = no - nc - 5
+
+    boxes_xywh = prediction[..., :4]
+    obj = prediction[..., 4:5]
+    cls_scores = prediction[..., 5 : 5 + nc] * obj  # (bs, N, nc)
+    masks = prediction[..., 5 + nc :]
+    boxes = xywh2xyxy(boxes_xywh)  # (bs, N, 4)
+
+    if class_filter is not None:
+        cls_scores = jnp.where(class_filter[None, None, :], cls_scores, 0.0)
+
+    k = min(max_nms, n * nc if multi_label else n)
+
+    if multi_label and nc > 1:
+        flat = cls_scores.reshape(bs, n * nc)
+        flat = jnp.where(flat > conf_thres, flat, 0.0)
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # (bs, K)
+        box_idx = top_idx // nc
+        cls_idx = (top_idx % nc).astype(jnp.int32)
+        top_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
+        top_masks = jnp.take_along_axis(masks, box_idx[..., None], axis=1) if nm else masks[:, :0]
+    else:
+        best = jnp.max(cls_scores, axis=-1)  # (bs, N)
+        best = jnp.where(best > conf_thres, best, 0.0)
+        top_scores, box_idx = jax.lax.top_k(best, k)
+        cls_idx = jnp.take_along_axis(
+            jnp.argmax(cls_scores, axis=-1).astype(jnp.int32), box_idx, axis=1
+        )
+        top_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
+        top_masks = jnp.take_along_axis(masks, box_idx[..., None], axis=1) if nm else masks[:, :0]
+
+    # Class-offset trick: shift boxes per class so one agnostic pass does
+    # per-class suppression.
+    if agnostic:
+        nms_boxes = top_boxes
+    else:
+        nms_boxes = top_boxes + (cls_idx.astype(top_boxes.dtype) * MAX_WH)[..., None]
+
+    nms_fn = _greedy_nms_scan if impl == "scan" else _greedy_nms_tiled
+    keep = jax.vmap(lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32), iou_thres))(
+        nms_boxes, top_scores
+    )  # (bs, K)
+
+    # Compact kept detections to the front, pad to max_det.
+    kept_scores = jnp.where(keep, top_scores, 0.0)
+    md = min(max_det, k)
+    out_scores, order = jax.lax.top_k(kept_scores, md)
+    out_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
+    out_classes = jnp.take_along_axis(cls_idx, order, axis=1)
+    out_masks = (
+        jnp.take_along_axis(top_masks, order[..., None], axis=1)
+        if nm
+        else jnp.zeros((bs, md, 0), prediction.dtype)
+    )
+    if md < max_det:  # pad to the requested static output size
+        pad = max_det - md
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+        out_masks = jnp.pad(out_masks, ((0, 0), (0, pad), (0, 0)))
+    out_valid = out_scores > 0
+
+    return Detections(out_boxes, out_scores, out_classes, out_masks, out_valid)
+
+
+def detections_to_numpy(dets: Detections):
+    """Convert padded `Detections` to the reference's per-image list format:
+    a list of (n_i, 6 + nm) float arrays [x1, y1, x2, y2, conf, cls, *coeffs]."""
+    import numpy as np
+
+    boxes = np.asarray(dets.boxes, dtype=np.float32)
+    scores = np.asarray(dets.scores, dtype=np.float32)
+    classes = np.asarray(dets.classes, dtype=np.float32)
+    masks = np.asarray(dets.masks, dtype=np.float32)
+    valid = np.asarray(dets.valid)
+    out = []
+    for b in range(boxes.shape[0]):
+        v = valid[b]
+        row = np.concatenate(
+            [boxes[b][v], scores[b][v][:, None], classes[b][v][:, None], masks[b][v]],
+            axis=1,
+        )
+        out.append(row)
+    return out
