@@ -1,0 +1,216 @@
+"""Model engine tests: config parsing, builds, forward shapes, and numerical
+parity of core blocks against independently-written torch equivalents."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.models import (
+    ClassificationModel,
+    DetectionModel,
+    SegmentationModel,
+)
+from yolov5_tpu.models.layers import C3, SPPF, Conv, decode_level
+from yolov5_tpu.models.weights import fuse_conv_bn, import_torch_weights
+from yolov5_tpu.models.yolo import load_config, parse_graph
+
+# published param counts (M), reference README.md:227-231
+PUBLISHED_PARAMS = {"yolov5n": 1.9, "yolov5s": 7.2, "yolov5m": 21.2}
+
+
+def test_parse_all_bundled_configs():
+    from yolov5_tpu.models.yolo import CONFIG_DIR
+
+    for path in sorted(CONFIG_DIR.glob("*.yaml")):
+        cfg = load_config(path)
+        specs, save, ch = parse_graph(cfg)
+        assert specs[-1].module in {"Detect", "Segment"}, path.name
+        assert len(specs) > 10
+
+
+@pytest.mark.parametrize("name", ["yolov5n", "yolov5s"])
+def test_param_count_matches_reference(name):
+    m = DetectionModel(name)
+    mine = m.num_params() / 1e6
+    assert abs(mine - PUBLISHED_PARAMS[name]) < 0.15, f"{name}: {mine}M"
+
+
+def test_detection_forward_and_decode():
+    m = DetectionModel("yolov5n")
+    assert m.stride == (8, 16, 32)
+    x = jnp.zeros((2, 96, 96, 3))
+    maps = m.apply(m.variables, x, train=False)
+    assert [t.shape for t in maps] == [
+        (2, 12, 12, 3, 85),
+        (2, 6, 6, 3, 85),
+        (2, 3, 3, 3, 85),
+    ]
+    dec = m.decode(maps)
+    assert dec.shape == (2, (12 * 12 + 6 * 6 + 3 * 3) * 3, 85)
+    d = np.asarray(dec)
+    # decoded xy within image bounds + margin; wh positive
+    assert (d[..., 2:4] >= 0).all()
+    assert d[..., 4:].min() >= 0 and d[..., 4:].max() <= 1
+
+
+def test_train_mode_updates_batch_stats():
+    m = DetectionModel("yolov5n")
+    x = jnp.ones((1, 64, 64, 3))
+    _, updated = m.apply(m.variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree.leaves(m.variables["batch_stats"])
+    new = jax.tree.leaves(updated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_segmentation_forward():
+    m = SegmentationModel("yolov5n-seg")
+    x = jnp.zeros((1, 96, 96, 3))
+    (maps, proto) = m.apply(m.variables, x, train=False)
+    assert len(maps) == 3
+    assert maps[0].shape == (1, 12, 12, 3, 85 + 32)
+    assert proto.shape == (1, 24, 24, 32)  # P3/8 -> 2x upsample
+
+
+def test_classification_forward():
+    m = ClassificationModel("yolov5n", nc=10)
+    x = jnp.zeros((2, 64, 64, 3))
+    logits = m.apply(m.variables, x, train=False)
+    assert logits.shape == (2, 10)
+
+
+def test_detect_bias_init_priors():
+    """Obj/cls bias priors should make initial confidence tiny (focal init,
+    reference models/yolo.py:314-327)."""
+    m = DetectionModel("yolov5n")
+    head = m.variables["params"]["layers_24"]
+    b = np.asarray(head["m_0"]["bias"]).reshape(3, 85)
+    assert b[:, 4].mean() == pytest.approx(np.log(8 / 80**2), abs=0.1)
+    assert b[:, 5:].mean() == pytest.approx(np.log(0.6 / 79.00001), abs=0.1)
+
+
+def test_decode_level_golden():
+    """Hand-computed decode: xy=(2sig-0.5+grid)*stride, wh=(2sig)^2*anchor."""
+    y = np.zeros((1, 2, 2, 1, 6), np.float32)  # logits all 0 -> sigmoid 0.5
+    anchors = [(10.0, 20.0)]
+    out = np.asarray(decode_level(jnp.asarray(y), anchors, 8))
+    # sigmoid(0)=0.5: xy = (2*0.5-0.5+grid)*8 = (0.5+grid)*8; wh = 1*anchor
+    expect_xy0 = (0.5 + 0.0) * 8
+    assert out[0, 0, 0] == pytest.approx(expect_xy0)
+    assert out[0, 0, 1] == pytest.approx(expect_xy0)
+    assert out[0, 0, 2] == pytest.approx(10.0)
+    assert out[0, 0, 3] == pytest.approx(20.0)
+    # cell (1,1) -> index 3 in row-major (ny,nx)
+    assert out[0, 3, 0] == pytest.approx((0.5 + 1.0) * 8)
+    assert out[0, 3, 1] == pytest.approx((0.5 + 1.0) * 8)
+    np.testing.assert_allclose(out[0, :, 4:], 0.5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Torch numerical parity for core blocks
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+
+class TorchConv(tnn.Module):
+    """Independent torch implementation of Conv(+BN+SiLU) for parity checks."""
+
+    def __init__(self, c1, c2, k=1, s=1, g=1):
+        super().__init__()
+        self.conv = tnn.Conv2d(c1, c2, k, s, k // 2, groups=g, bias=False)
+        self.bn = tnn.BatchNorm2d(c2, eps=1e-3, momentum=0.03)
+
+    def forward(self, x):
+        return tnn.functional.silu(self.bn(self.conv(x)))
+
+
+class TorchBottleneck(tnn.Module):
+    def __init__(self, c1, c2, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TorchConv(c1, c_, 1, 1)
+        self.cv2 = TorchConv(c_, c2, 3, 1)
+        self.add = shortcut and c1 == c2
+
+    def forward(self, x):
+        y = self.cv2(self.cv1(x))
+        return x + y if self.add else y
+
+
+class TorchC3(tnn.Module):
+    def __init__(self, c1, c2, n=1, shortcut=True, e=0.5):
+        super().__init__()
+        c_ = int(c2 * e)
+        self.cv1 = TorchConv(c1, c_, 1, 1)
+        self.cv2 = TorchConv(c1, c_, 1, 1)
+        self.cv3 = TorchConv(2 * c_, c2, 1, 1)
+        self.m = tnn.Sequential(*(TorchBottleneck(c_, c_, shortcut, 1.0) for _ in range(n)))
+
+    def forward(self, x):
+        return self.cv3(torch.cat((self.m(self.cv1(x)), self.cv2(x)), 1))
+
+
+class TorchSPPF(tnn.Module):
+    def __init__(self, c1, c2, k=5):
+        super().__init__()
+        c_ = c1 // 2
+        self.cv1 = TorchConv(c1, c_, 1, 1)
+        self.cv2 = TorchConv(c_ * 4, c2, 1, 1)
+        self.m = tnn.MaxPool2d(k, 1, k // 2)
+
+    def forward(self, x):
+        x = self.cv1(x)
+        y1 = self.m(x)
+        y2 = self.m(y1)
+        return self.cv2(torch.cat((x, y1, y2, self.m(y2)), 1))
+
+
+def randomize_bn(mod, gen):
+    """Give BN layers non-trivial running stats so fusion math is exercised."""
+    for m in mod.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.2)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+            m.weight.data.copy_(torch.rand(m.weight.shape, generator=gen) + 0.5)
+            m.bias.data.copy_(torch.randn(m.bias.shape, generator=gen) * 0.1)
+
+
+def _parity(torch_mod, flax_mod, c1, hw=16, atol=2e-5):
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        randomize_bn(torch_mod, gen)
+        torch_mod.eval()
+        x_t = torch.randn(2, c1, hw, hw, generator=gen)
+        y_t = torch_mod(x_t).permute(0, 2, 3, 1).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in torch_mod.state_dict().items()}
+    x_j = jnp.asarray(x_t.permute(0, 2, 3, 1).numpy())
+    variables = flax_mod.init(jax.random.PRNGKey(0), x_j, train=False)
+    variables, missed = import_torch_weights(variables, sd)
+    assert not missed, missed
+    y_j = np.asarray(flax_mod.apply(variables, x_j, train=False))
+    np.testing.assert_allclose(y_j, y_t, atol=atol, rtol=1e-4)
+    return variables, x_j, y_t
+
+
+def test_conv_parity_with_torch():
+    _parity(TorchConv(8, 16, 3, 2), Conv(16, 3, 2), c1=8)
+
+
+def test_c3_parity_with_torch():
+    _parity(TorchC3(16, 32, n=2), C3(32, n=2), c1=16)
+
+
+def test_sppf_parity_with_torch():
+    _parity(TorchSPPF(16, 32), SPPF(32), c1=16)
+
+
+def test_fused_conv_bn_parity():
+    """BN folding must preserve eval-mode outputs exactly."""
+    variables, x_j, y_t = _parity(TorchC3(16, 32, n=1), C3(32, n=1), c1=16)
+    fused_vars = fuse_conv_bn(variables)
+    y_f = np.asarray(C3(32, n=1, fused=True).apply(fused_vars, x_j, train=False))
+    np.testing.assert_allclose(y_f, y_t, atol=5e-5, rtol=1e-4)

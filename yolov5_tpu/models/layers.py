@@ -1,0 +1,637 @@
+"""YOLOv5 module zoo as flax.linen modules, NHWC, TPU-first.
+
+Functional re-design of the blocks in /root/reference/models/common.py
+(cited per class). Key departures from the torch original:
+
+- NHWC layout end to end (XLA's native conv layout on TPU).
+- Params stay fp32; compute dtype is configurable (bf16 on TPU) via the
+  ``dtype`` attribute every module threads through.
+- BatchNorm is a linen BatchNorm (batch_stats collection); the fused
+  inference path folds BN into the conv kernel/bias at the *parameter* level
+  (see weights.fuse_conv_bn) rather than keeping two module graphs.
+- All blocks share the call signature ``(x, train=False)`` so the YAML graph
+  executor can drive them uniformly.
+
+Weight-import correspondence: attribute names mirror the reference
+(cv1/cv2/cv3/m/...) so a torch state_dict key like ``model.4.m.0.cv1.conv.weight``
+maps mechanically to the flax path ``layers_4/m_0/cv1/conv/kernel``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# BN hyperparameters matching the reference training recipe
+# (torch BatchNorm2d(momentum=0.03, eps=1e-3) set in models/yolo.py init).
+BN_MOMENTUM = 0.97  # flax momentum = 1 - torch momentum
+BN_EPS = 1e-3
+
+ACTIVATIONS: dict[str, Callable] = {
+    "silu": jax.nn.silu,
+    "relu": jax.nn.relu,
+    "leaky_relu": lambda x: jax.nn.leaky_relu(x, 0.1),
+    "hardswish": jax.nn.hard_swish,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "identity": lambda x: x,
+}
+
+
+def autopad(k: int, p: int | None = None, d: int = 1) -> int:
+    """'same'-style pad for odd kernels (reference models/common.py:62-70)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    return k // 2 if p is None else p
+
+
+class Conv(nn.Module):
+    """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
+
+    When ``fused`` is True the module expects BN pre-folded into the conv
+    (kernel + bias) and skips normalization — the deploy-time fast path.
+    ``g = -1`` means depthwise-style grouping gcd(c1, c2) (the reference's
+    DWConv, models/common.py:95-103).
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    d: int = 1
+    act: str = "silu"
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=self.fused,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if not self.fused:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+def DWConv(c2, k=1, s=1, act="silu", fused=False, dtype=jnp.float32, name=None):
+    """Depthwise conv: groups = gcd(c1, c2) (reference models/common.py:95-103).
+
+    Same param tree as Conv (conv/bn), so torch DWConv weights import as Conv.
+    """
+    return Conv(c2, k, s, g=-1, act=act, fused=fused, dtype=dtype, name=name)
+
+
+class Bottleneck(nn.Module):
+    """Standard residual bottleneck (reference models/common.py:164-181)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            y = x + y
+        return y
+
+
+class CrossConv(nn.Module):
+    """Cross-shaped (1xk then kx1) conv pair (reference models/experimental.py)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        pad1 = (0, autopad(self.k))
+        y = nn.Conv(c_, (1, self.k), strides=(1, self.s),
+                    padding=((0, 0), (pad1[1], pad1[1])), use_bias=self.fused,
+                    dtype=self.dtype, name="cv1_conv")(x)
+        if not self.fused:
+            y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name="cv1_bn")(y)
+        y = jax.nn.silu(y)
+        y = nn.Conv(self.c2, (self.k, 1), strides=(self.s, 1),
+                    padding=((pad1[1], pad1[1]), (0, 0)),
+                    feature_group_count=self.g, use_bias=self.fused,
+                    dtype=self.dtype, name="cv2_conv")(y)
+        if not self.fused:
+            y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name="cv2_bn")(y)
+        y = jax.nn.silu(y)
+        if self.shortcut and x.shape[-1] == self.c2 and self.s == 1:
+            y = x + y
+        return y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs — the backbone workhorse
+    (reference models/common.py:230-246): cv3(concat(m(cv1(x)), cv2(x)))."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    def inner(self, c_: int, i: int) -> nn.Module:
+        return Bottleneck(c_, self.shortcut, self.g, e=1.0, fused=self.fused,
+                          dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = self.inner(c_, i)(y1, train)
+        y2 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class C3x(C3):
+    """C3 with CrossConv inner blocks (reference models/common.py:258-264)."""
+
+    def inner(self, c_: int, i: int) -> nn.Module:
+        return CrossConv(c_, 3, 1, self.g, 1.0, self.shortcut, fused=self.fused,
+                         dtype=self.dtype, name=f"m_{i}")
+
+
+class C3Ghost(C3):
+    """C3 with GhostBottleneck inner blocks (reference models/common.py:285-291)."""
+
+    def inner(self, c_: int, i: int) -> nn.Module:
+        return GhostBottleneck(c_, fused=self.fused, dtype=self.dtype, name=f"m_{i}")
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (reference models/common.py:295-315)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        pools = [
+            nn.max_pool(x, (k, k), strides=(1, 1), padding=((k // 2, k // 2), (k // 2, k // 2)))
+            for k in self.k
+        ]
+        x = jnp.concatenate([x, *pools], axis=-1)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+
+
+class SPPF(nn.Module):
+    """Fast SPP: 3 chained k=5 maxpools ≡ SPP(5,9,13)
+    (reference models/common.py:318-340)."""
+
+    c2: int
+    k: int = 5
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        p = self.k // 2
+        pool = lambda v: nn.max_pool(v, (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p)))
+        y1 = pool(x)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train
+        )
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem: 2x2 pixel de-interleave then conv
+    (reference models/common.py:343-357)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.concatenate(
+            [x[:, ::2, ::2], x[:, 1::2, ::2], x[:, ::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
+        return Conv(self.c2, self.k, self.s, self.p, self.g, fused=self.fused,
+                    dtype=self.dtype, name="conv")(x, train)
+
+
+class GhostConv(nn.Module):
+    """GhostNet conv: half primary conv + half cheap depthwise
+    (reference models/common.py:360-374)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = Conv(c_, self.k, self.s, None, self.g, fused=self.fused,
+                 dtype=self.dtype, name="cv1")(x, train)
+        y2 = Conv(c_, 5, 1, None, c_, fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (reference models/common.py:377-398)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="gc1")(x, train)
+        if self.s == 2:
+            y = DWConv(c_, self.k, self.s, act="identity", fused=self.fused,
+                       dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="gc2")(y, train)
+        # identity/act quirk mirrors the reference: second ghost conv has no act
+        if self.s == 2:
+            sc = DWConv(x.shape[-1], self.k, self.s, act="identity", fused=self.fused,
+                        dtype=self.dtype, name="sc_dw")(x, train)
+            sc = Conv(self.c2, 1, 1, act="identity", fused=self.fused,
+                      dtype=self.dtype, name="sc_pw")(sc, train)
+        else:
+            sc = x if x.shape[-1] == self.c2 else Conv(
+                self.c2, 1, 1, act="identity", fused=self.fused, dtype=self.dtype, name="sc_pw"
+            )(x, train)
+        return y + sc
+
+
+class Contract(nn.Module):
+    """Space→channel reshape, gain g (reference models/common.py:401-420)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.gain
+        x = x.reshape(b, h // g, g, w // g, g, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h // g, w // g, c * g * g)
+
+
+class Expand(nn.Module):
+    """Channel→space reshape, gain g (reference models/common.py:423-440)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        g = self.gain
+        x = x.reshape(b, h, w, g, g, c // (g * g))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, h * g, w * g, c // (g * g))
+
+
+class Concat(nn.Module):
+    """Concatenate along channels (reference models/common.py:443-453).
+
+    The reference takes a torch dim (1 = channels in NCHW); here channels are
+    axis -1 in NHWC and that's the only dim the configs use."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=-1)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x (or s-x) upsample (torch nn.Upsample in configs)."""
+
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+class TransformerLayer(nn.Module):
+    """Single pre-LN-free attention layer matching the reference's minimal
+    TransformerLayer (models/common.py:115-131): q/k/v linear (no bias) +
+    MHA + residual, then 2 linears + residual."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, L, C)
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        b, l, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        q = q.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, h, hd).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, c)
+        out = nn.Dense(self.c, use_bias=True, dtype=self.dtype, name="ma_out")(out)
+        x = out + x
+        y = nn.Dense(self.c, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.c, dtype=self.dtype, name="fc2")(y)
+        return y + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT-style block over flattened HxW (reference models/common.py:134-161)."""
+
+    c2: int
+    num_heads: int
+    n: int = 1
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.shape[-1] != self.c2:
+            x = Conv(self.c2, fused=self.fused, dtype=self.dtype, name="conv")(x, train)
+        b, h, w, c = x.shape
+        p = x.reshape(b, h * w, c)
+        p = p + nn.Dense(c, dtype=self.dtype, name="linear")(p)  # learned pos-ish embed
+        for i in range(self.n):
+            p = TransformerLayer(c, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p, train)
+        return p.reshape(b, h, w, c)
+
+
+class C3TR(C3):
+    """C3 whose inner stack is one TransformerBlock (reference common.py:267-273)."""
+
+    def inner(self, c_: int, i: int) -> nn.Module:
+        # the reference builds TransformerBlock(c_, c_, 4, n) once
+        return TransformerBlock(c_, 4, self.n, fused=self.fused, dtype=self.dtype, name=f"m_{i}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y1 = self.inner(c_, 0)(y1, train)
+        y2 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class C3SPP(C3):
+    """C3 with an SPP inner (reference models/common.py:276-282)."""
+
+    k: Sequence[int] = (5, 9, 13)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y1 = SPP(c_, self.k, fused=self.fused, dtype=self.dtype, name="m_0")(y1, train)
+        y2 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([y1, y2], axis=-1), train
+        )
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSP bottleneck (reference models/common.py:184-210)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0, fused=self.fused,
+                            dtype=self.dtype, name=f"m_{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype, name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        y = ACTIVATIONS["silu"](y)
+        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv4")(y, train)
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size conv (reference models/experimental.py:15-41),
+    equal-channel-split strategy."""
+
+    c2: int
+    k: Sequence[int] = (1, 3)
+    s: int = 1
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n = len(self.k)
+        splits = [self.c2 // n + (1 if i < self.c2 % n else 0) for i in range(n)]
+        outs = []
+        for i, (k, c) in enumerate(zip(self.k, splits)):
+            pad = k // 2
+            outs.append(
+                nn.Conv(c, (k, k), strides=(self.s, self.s),
+                        padding=((pad, pad), (pad, pad)), use_bias=self.fused,
+                        dtype=self.dtype, name=f"m_{i}")(x)
+            )
+        y = jnp.concatenate(outs, axis=-1)
+        if not self.fused:
+            y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        return jax.nn.silu(y)
+
+
+class Proto(nn.Module):
+    """Segmentation mask prototype head (reference models/common.py:1104-1117):
+    conv → 2x upsample → conv → conv to npr prototypes."""
+
+    c_: int = 256
+    c2: int = 32
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.c_, 3, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        x = Upsample(2, name="up")(x)
+        x = Conv(self.c_, 3, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, fused=self.fused, dtype=self.dtype, name="cv3")(x, train)
+
+
+class Classify(nn.Module):
+    """Classification head (reference models/common.py:1120-1140):
+    conv to 1280 → global avg pool → dropout → linear."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    dropout_p: float = 0.0
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = 1280
+        x = Conv(c_, self.k, self.s, self.p, self.g, fused=self.fused,
+                 dtype=self.dtype, name="conv")(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if self.dropout_p > 0:
+            x = nn.Dropout(self.dropout_p, deterministic=not train)(x)
+        return nn.Dense(self.c2, dtype=self.dtype, name="linear")(x)
+
+
+class Detect(nn.Module):
+    """Anchor-based detection head (reference models/yolo.py:71-128).
+
+    Applies one 1x1 conv per pyramid level producing na*(5+nc) channels and
+    reshapes to (bs, ny, nx, na, no). Decoding to boxes is a separate pure
+    function (`decode_level` / `decode`) so training uses the raw maps and
+    inference fuses decode into the jitted graph.
+    """
+
+    nc: int = 80
+    anchors: tuple = ()  # (nl, na, 2) nested tuples, pixel units
+    dtype: Any = jnp.float32
+
+    @property
+    def nl(self):
+        return len(self.anchors)
+
+    @property
+    def na(self):
+        return len(self.anchors[0])
+
+    @property
+    def no(self):
+        return self.nc + 5
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        outs = []
+        for i, x in enumerate(xs):
+            y = nn.Conv(self.no * self.na, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"m_{i}")(x)
+            b, ny, nx, _ = y.shape
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs
+
+
+class Segment(Detect):
+    """Detect + mask-coefficient head + Proto (reference models/yolo.py:131-150)."""
+
+    nm: int = 32  # mask coefficients
+    npr: int = 256  # prototype channels
+
+    @property
+    def no(self):
+        return self.nc + 5 + self.nm
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        proto = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], train)
+        outs = []
+        for i, x in enumerate(xs):
+            y = nn.Conv(self.no * self.na, (1, 1), use_bias=True, dtype=self.dtype,
+                        name=f"m_{i}")(x)
+            b, ny, nx, _ = y.shape
+            outs.append(y.reshape(b, ny, nx, self.na, self.no))
+        return outs, proto
+
+
+def decode_level(y, anchors_px, stride, dtype=jnp.float32):
+    """Decode one raw head map to absolute xywh + sigmoid scores.
+
+    y: (bs, ny, nx, na, no) raw logits. anchors_px: (na, 2) anchor sizes in
+    pixels. Matches the reference decode (models/yolo.py:103-113):
+      xy = (2σ(t_xy) - 0.5 + grid) * stride
+      wh = (2σ(t_wh))² * anchor
+    Returns (bs, ny*nx*na, no).
+    """
+    b, ny, nx, na, no = y.shape
+    y = jax.nn.sigmoid(y.astype(dtype))
+    gy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0).astype(dtype)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1).astype(dtype)
+    grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]  # (ny, nx, 1, 2)
+    anchors_px = jnp.asarray(anchors_px, dtype)[None, None, :, :]  # (1, 1, na, 2)
+    xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
+    wh = (y[..., 2:4] * 2.0) ** 2 * anchors_px
+    out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+    return out.reshape(b, ny * nx * na, no)
+
+
+def decode(outs, anchors, strides, dtype=jnp.float32):
+    """Decode all levels and concat: list[(bs,ny,nx,na,no)] -> (bs, N, no)."""
+    zs = [
+        decode_level(y, jnp.asarray(a), s, dtype)
+        for y, a, s in zip(outs, anchors, strides)
+    ]
+    return jnp.concatenate(zs, axis=1)

@@ -1,0 +1,427 @@
+"""YAML-driven model builder and task models (detection / segmentation /
+classification).
+
+Re-designs the reference's `parse_model` + `DetectionModel`
+(/root/reference/models/yolo.py:215-458) as a *static graph spec* compiled
+once into a flax module:
+
+- The YAML schema is kept (nc / depth_multiple / width_multiple / anchors /
+  backbone / head with `[from, number, module, args]` rows) so existing model
+  zoo configs carry over.
+- Parsing happens entirely at Python level into hashable `LayerSpec`s; the
+  resulting `YOLOGraph` linen module executes the layer list with an explicit
+  saved-outputs dict — XLA sees one flat traced graph, no Python dispatch at
+  run time.
+- depth/width scaling math is kept bit-identical to the reference
+  (round(n*gd), make_divisible(c*gw, 8)) so torch checkpoints map 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+from flax import linen as nn
+from flax.core import unfreeze
+
+from yolov5_tpu.models import layers as L
+from yolov5_tpu.ops.boxes import make_divisible
+
+CONFIG_DIR = Path(__file__).parent / "configs"
+
+# Modules whose YAML repeat-count `n` becomes an internal arg instead of
+# sequential repetition (reference models/yolo.py:418-421).
+_INTERNAL_N = {"C3", "C3x", "C3TR", "C3Ghost", "BottleneckCSP"}
+# Modules taking no channel argument.
+_NO_CHANNELS = {"Concat", "Upsample", "nn.Upsample", "Contract", "Expand"}
+def _hashable(x):
+    """Recursively convert lists to tuples so specs stay hashable."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_hashable(v) for v in x)
+    return x
+
+
+def _resolve_arg(a, nc, anchors):
+    """YAML args may be symbolic ('nc', 'anchors', 'None') or plain strings
+    (e.g. Upsample mode 'nearest')."""
+    if not isinstance(a, str):
+        return a
+    table = {"nc": nc, "anchors": anchors, "None": None}
+    return table.get(a, a)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One graph node: where its inputs come from and how to build it."""
+
+    i: int  # layer index
+    frm: tuple  # input layer indices (-1 = previous)
+    module: str  # registry name
+    args: tuple  # positional args (resolved, hashable)
+    kwargs: tuple  # extra kwargs as sorted (k, v) pairs
+    n: int = 1  # sequential repeats (only for non-internal-n modules)
+    c2: int = 0  # output channels (bookkeeping)
+
+
+def load_config(cfg) -> dict:
+    """Load a model config: dict passthrough, name (resolved against the
+    bundled configs dir), or explicit path."""
+    if isinstance(cfg, dict):
+        return dict(cfg)
+    p = Path(cfg)
+    if not p.exists():
+        for cand in (
+            CONFIG_DIR / f"{cfg}.yaml",
+            CONFIG_DIR / f"{p.stem}.yaml",
+        ):
+            if cand.exists():
+                p = cand
+                break
+    with open(p) as f:
+        d = yaml.safe_load(f)
+    d["yaml_file"] = str(p)
+    return d
+
+
+def parse_graph(cfg: dict, ch_in: int = 3):
+    """Resolve the YAML layer list into LayerSpecs + the save-index list.
+
+    Returns (specs, save, ch) where ch[i] is layer i's output channels.
+    """
+    gd = cfg.get("depth_multiple", 1.0)
+    gw = cfg.get("width_multiple", 1.0)
+    anchors = cfg.get("anchors")
+    nc = cfg["nc"]
+    act = cfg.get("activation")  # optional global activation override
+    if isinstance(anchors, (list, tuple)):
+        na = len(anchors[0]) // 2
+        anchors_t = tuple(tuple(zip(a[0::2], a[1::2])) for a in anchors)
+    else:
+        na = int(anchors) if anchors else 3
+        anchors_t = ()
+    no = na * (nc + 5)
+
+    specs: list[LayerSpec] = []
+    save: set[int] = set()
+    ch: list[int] = [ch_in]
+
+    rows = list(cfg["backbone"]) + list(cfg["head"])
+    for i, (f, n, m, args) in enumerate(rows):
+        frm = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        args = [_resolve_arg(a, nc, anchors) for a in args]
+        n_scaled = max(round(n * gd), 1) if n > 1 else n
+        kwargs: dict[str, Any] = {}
+        if act and m in {"Conv", "DWConv", "Bottleneck", "C3", "SPPF", "SPP"}:
+            kwargs["act"] = act
+
+        c1 = ch[frm[0] + 1 if frm[0] != -1 else len(ch) - 1] if m != "Concat" else sum(
+            ch[x + 1 if x != -1 else len(ch) - 1] for x in frm
+        )
+
+        if m in _NO_CHANNELS:
+            if m in {"nn.Upsample", "Upsample"}:
+                # torch signature (size, scale_factor, mode)
+                scale = int(args[1]) if len(args) > 1 else 2
+                spec_args: tuple = (scale,)
+                m = "Upsample"
+            elif m in {"Contract", "Expand"}:
+                spec_args = (int(args[0]),)
+                gain = int(args[0])
+                c1 = c1 * gain * gain if m == "Contract" else c1 // (gain * gain)
+            else:
+                spec_args = ()
+            c2 = c1
+        elif m in {"Detect", "Segment"}:
+            head_nc = args[0]
+            c2 = 0
+            spec_args = (head_nc, anchors_t)
+            if m == "Segment":
+                # args: [nc, anchors, nm, npr]
+                kwargs["nm"] = args[2] if len(args) > 2 else 32
+                kwargs["npr"] = make_divisible(args[3] * gw, 8) if len(args) > 3 else 256
+            save.update(x % i for x in frm)
+            specs.append(
+                LayerSpec(i, frm, m, spec_args, tuple(sorted(kwargs.items())), 1, c2)
+            )
+            ch.append(c2)
+            continue
+        elif m == "Classify":
+            c2 = args[0]
+            spec_args = tuple([c2] + args[1:])
+        else:
+            # channel-producing compute modules: args[0] is c2 (scaled)
+            c2 = args[0]
+            if c2 != no:
+                c2 = make_divisible(c2 * gw, 8)
+            rest = list(args[1:])
+            if m in _INTERNAL_N:
+                kwargs["n"] = n_scaled
+                n_scaled = 1
+                if rest:  # e.g. C3 [c2, False] -> shortcut flag
+                    kwargs["shortcut"] = bool(rest.pop(0))
+                if rest:
+                    kwargs["g"] = rest.pop(0)
+                if rest:
+                    kwargs["e"] = rest.pop(0)
+                spec_args = (c2,)
+            elif m == "C3SPP":
+                # args [c2, k] but k is a keyword (field order differs)
+                if rest:
+                    kwargs["k"] = _hashable(rest.pop(0))
+                spec_args = (c2,)
+            elif m == "TransformerBlock":
+                # args [c2, num_heads]; repeat count is internal
+                kwargs["n"] = n_scaled
+                n_scaled = 1
+                spec_args = tuple([c2] + rest)
+            else:
+                spec_args = _hashable(tuple([c2] + rest))
+
+        for x in frm:
+            if x != -1:
+                save.add(x)
+        specs.append(LayerSpec(i, frm, m, spec_args, tuple(sorted(kwargs.items())), n_scaled, c2))
+        ch.append(c2)
+
+    return specs, tuple(sorted(save)), ch[1:]
+
+
+def _build_module(spec: LayerSpec, fused: bool, dtype, name: str) -> nn.Module:
+    kw = dict(spec.kwargs)
+    registry = {
+        "Conv": L.Conv,
+        "DWConv": L.DWConv,
+        "Bottleneck": L.Bottleneck,
+        "BottleneckCSP": L.BottleneckCSP,
+        "CrossConv": L.CrossConv,
+        "C3": L.C3,
+        "C3x": L.C3x,
+        "C3TR": L.C3TR,
+        "C3SPP": L.C3SPP,
+        "C3Ghost": L.C3Ghost,
+        "SPP": L.SPP,
+        "SPPF": L.SPPF,
+        "Focus": L.Focus,
+        "GhostConv": L.GhostConv,
+        "GhostBottleneck": L.GhostBottleneck,
+        "MixConv2d": L.MixConv2d,
+        "Contract": L.Contract,
+        "Expand": L.Expand,
+        "Concat": L.Concat,
+        "Upsample": L.Upsample,
+        "TransformerBlock": L.TransformerBlock,
+        "Detect": L.Detect,
+        "Segment": L.Segment,
+        "Proto": L.Proto,
+        "Classify": L.Classify,
+    }
+    ctor = registry[spec.module]
+    if spec.module in {"Concat", "Upsample", "Contract", "Expand"}:
+        if spec.module == "Upsample":
+            return ctor(scale=spec.args[0], name=name)
+        if spec.module in {"Contract", "Expand"}:
+            return ctor(gain=spec.args[0], name=name)
+        return ctor(name=name)
+    if spec.module in {"Detect", "Segment"}:
+        return ctor(nc=spec.args[0], anchors=spec.args[1], dtype=dtype, name=name, **kw)
+    return ctor(*spec.args, fused=fused, dtype=dtype, name=name, **kw)
+
+
+class YOLOGraph(nn.Module):
+    """Executes a parsed layer list with an explicit saved-outputs dict
+    (the reference's `_forward_once` save-list executor, models/yolo.py:160-170)."""
+
+    specs: tuple
+    save: tuple
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        saved = {}
+        out = x
+        for spec in self.specs:
+            if len(spec.frm) == 1:
+                inp = out if spec.frm[0] == -1 else saved[spec.frm[0]]
+            else:
+                inp = [out if j == -1 else saved[j] for j in spec.frm]
+            if spec.n > 1:  # sequential repetition (rare, hub configs)
+                for r in range(spec.n):
+                    mod = _build_module(spec, self.fused, self.dtype, f"layers_{spec.i}_{r}")
+                    inp = mod(inp, train)
+                out = inp
+            else:
+                mod = _build_module(spec, self.fused, self.dtype, f"layers_{spec.i}")
+                out = mod(inp, train)
+            if spec.i in self.save:
+                saved[spec.i] = out
+        return out
+
+
+def check_anchor_order(anchors, strides):
+    """Ensure anchor areas are ordered like strides (reference
+    utils/autoanchor.py:16-23); returns possibly-reversed anchors."""
+    a = np.asarray(anchors, np.float32)  # (nl, na, 2)
+    areas = a.prod(-1).mean(-1)
+    da = areas[-1] - areas[0]
+    ds = strides[-1] - strides[0]
+    if np.sign(da) != np.sign(ds) and da != 0:
+        a = a[::-1].copy()
+    return tuple(tuple(map(tuple, lvl)) for lvl in a)
+
+
+class DetectionModel:
+    """Task model: config in, (module, variables, metadata) out.
+
+    Unlike the torch original this is a thin *functional* wrapper — the
+    variables pytree is explicit so train steps can jit/shard it freely.
+    """
+
+    head_type = "Detect"
+
+    def __init__(self, cfg="yolov5s", ch=3, nc=None, anchors=None,
+                 dtype=jnp.float32, fused=False, seed=0):
+        self.cfg = load_config(cfg)
+        if nc is not None and nc != self.cfg.get("nc"):
+            self.cfg["nc"] = nc
+        if anchors is not None:
+            self.cfg["anchors"] = anchors
+        self.nc = self.cfg["nc"]
+        self.dtype = dtype
+        self.fused = fused
+        self.specs, self.save, self.ch = parse_graph(self.cfg, ch)
+        self.module = YOLOGraph(tuple(self.specs), self.save, fused=fused, dtype=dtype)
+        self.head_spec = self.specs[-1]
+
+        # init params at a small size (param shapes don't depend on H/W), then
+        # probe strides with a zero-cost abstract forward at 256px
+        # (reference does a real 256px forward, models/yolo.py:248-257)
+        key = jax.random.PRNGKey(seed)
+        self.variables = None
+        for init_px in (64, 128, 256):  # smallest size the arch's strides allow
+            try:
+                dummy_init = jnp.zeros((1, init_px, init_px, ch), dtype)
+                with jax.disable_jit():  # eager init: no XLA compile just to draw params
+                    self.variables = self.module.init(key, dummy_init, train=False)
+                break
+            except Exception:
+                if init_px == 256:
+                    raise
+        s = 256
+        dummy = jax.ShapeDtypeStruct((1, s, s, ch), dtype)
+        raw = jax.eval_shape(
+            lambda v, x: self.module.apply(v, x, train=False), self.variables, dummy
+        )
+        maps = raw[0] if isinstance(raw, tuple) else raw  # Segment returns (maps, proto)
+        if isinstance(maps, (list, tuple)):
+            self.stride = tuple(int(s / m.shape[1]) for m in maps)
+        else:
+            self.stride = (32,)
+        if self.head_spec.module in {"Detect", "Segment"}:
+            self.anchors = check_anchor_order(self.head_spec.args[1], self.stride)
+            self.variables = _init_detect_biases(
+                self.variables, self.head_spec, self.nc, self.stride, len(self.specs) - 1
+            )
+        else:
+            self.anchors = ()
+        self.names = self.cfg.get("names") or {i: f"class{i}" for i in range(self.nc)}
+
+    # anchors normalized by stride, for the loss (reference keeps
+    # self.anchors /= stride, models/yolo.py:250)
+    @property
+    def anchors_per_stride(self):
+        return tuple(
+            tuple((aw / s, ah / s) for aw, ah in lvl)
+            for lvl, s in zip(self.anchors, self.stride)
+        )
+
+    def apply(self, variables, x, train=False, **kw):
+        return self.module.apply(variables, x, train=train, **kw)
+
+    def decode(self, raw_maps, dtype=None):
+        """Raw head maps -> (bs, N, no) decoded predictions."""
+        return L.decode(raw_maps, self.anchors, self.stride, dtype or jnp.float32)
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def num_params(self):
+        return sum(x.size for x in jax.tree.leaves(self.variables["params"]))
+
+
+class SegmentationModel(DetectionModel):
+    head_type = "Segment"
+
+
+class ClassificationModel:
+    """Classifier built by slicing a detection backbone at ``cutoff`` and
+    appending a Classify head (reference models/yolo.py:343-372)."""
+
+    head_type = "Classify"
+
+    def __init__(self, cfg="yolov5s", nc=1000, cutoff=10, ch=3,
+                 dtype=jnp.float32, fused=False, seed=0):
+        base_cfg = load_config(cfg)
+        self.nc = nc
+        self.dtype = dtype
+        self.fused = fused
+        specs, save, chs = parse_graph(base_cfg, ch)
+        specs = [s for s in specs if s.i < cutoff]
+        head = LayerSpec(cutoff, (-1,), "Classify", (nc,), (), 1, nc)
+        specs.append(head)
+        save = tuple(s for s in save if s < cutoff)
+        self.specs, self.save = specs, save
+        self.module = YOLOGraph(tuple(specs), save, fused=fused, dtype=dtype)
+        key = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 224, 224, ch), dtype)
+        self.variables = self.module.init(key, dummy, train=False)
+        self.stride = (32,)
+        self.names = {i: f"class{i}" for i in range(nc)}
+
+    def apply(self, variables, x, train=False, **kw):
+        return self.module.apply(variables, x, train=train, **kw)
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+
+def _init_detect_biases(variables, head_spec, nc, strides, head_idx):
+    """Focal-style prior init of Detect conv biases
+    (reference models/yolo.py:314-327): obj bias ~ log(8 / (640/s)²),
+    cls bias ~ log(0.6 / (nc - 0.99999))."""
+    v = unfreeze(variables) if hasattr(variables, "unfreeze") else dict(variables)
+    params = v["params"]
+    head_name = f"layers_{head_idx}"
+    head = params.get(head_name)
+    if head is None:
+        return variables
+    na = len(head_spec.args[1][0]) if head_spec.args[1] else 3
+    nm = dict(head_spec.kwargs).get("nm", 0) if head_spec.module == "Segment" else 0
+    no = nc + 5 + nm
+    for li, s in enumerate(strides):
+        key = f"m_{li}"
+        if key not in head:
+            continue
+        b = np.asarray(head[key]["bias"], np.float32).reshape(na, no).copy()
+        b[:, 4] += math.log(8.0 / (640.0 / s) ** 2)
+        b[:, 5 : 5 + nc] += math.log(0.6 / (nc - 0.99999))
+        head[key]["bias"] = jnp.asarray(b.reshape(-1))
+    return v
+
+
+def build_model(cfg, task="detect", **kw):
+    if task == "detect":
+        return DetectionModel(cfg, **kw)
+    if task == "segment":
+        return SegmentationModel(cfg, **kw)
+    if task == "classify":
+        return ClassificationModel(cfg, **kw)
+    raise ValueError(f"unknown task {task!r}")
