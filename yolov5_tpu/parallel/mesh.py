@@ -1,0 +1,51 @@
+"""Device mesh + sharding rules.
+
+The reference's distributed story is torchrun + DDP + NCCL all-reduce
+(/root/reference/train.py:656-667, utils/torch_utils.py:61-70). The TPU-native
+equivalent is declarative: build a `jax.sharding.Mesh`, shard the batch over
+the 'data' axis, replicate params, and let XLA insert the gradient all-reduce
+over ICI inside the single jitted train step. SyncBatchNorm falls out the
+same way once batch stats are computed on the sharded batch and psum'd
+(flax BatchNorm's `axis_name` — not needed at YOLO batch sizes, where
+per-chip batch >= 16).
+
+Axes:
+  data  — data parallelism (batch dim). The only axis YOLOv5-class CNNs
+          need; mesh creation still accepts extra axes so model-parallel
+          experiments (spatial sharding of large feature maps) can reuse it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axes=("data",), devices=None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    shape = (len(devs),) + (1,) * (len(axes) - 1)
+    return Mesh(np.array(devs).reshape(shape), axes)
+
+
+def shard_batch_spec(mesh: Mesh) -> NamedSharding:
+    """Batch arrays: sharded on the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with batch-dim sharding."""
+    spec = shard_batch_spec(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, spec), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    spec = replicated_spec(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, spec), tree)

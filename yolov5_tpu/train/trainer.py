@@ -1,0 +1,97 @@
+"""The jitted train step and training state.
+
+One `jax.jit`-compiled function does everything the reference's hot loop does
+(train.py:376-421): forward, loss, backward, optimizer, EMA — with data
+parallelism expressed through shardings instead of DDP hooks. Params are
+replicated, batches sharded on the 'data' mesh axis; XLA inserts the gradient
+all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov5_tpu.parallel.mesh import replicated_spec, shard_batch_spec
+from yolov5_tpu.train.optim import EMAState, ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema: EMAState
+
+
+def scale_hyp(hyp: dict, nl: int, nc: int, imgsz: int) -> dict:
+    """Scale loss gains to layer count / class count / image size
+    (reference train.py:325-328)."""
+    out = dict(hyp)
+    out["box"] = hyp.get("box", 0.05) * 3.0 / nl
+    out["cls"] = hyp.get("cls", 0.5) * nc / 80.0 * 3.0 / nl
+    out["obj"] = hyp.get("obj", 1.0) * (imgsz / 640.0) ** 2 * 3.0 / nl
+    return out
+
+
+def init_train_state(model, tx) -> TrainState:
+    # copy: the step donates its input state, which must never invalidate the
+    # model's own variables
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    params = copy(model.variables["params"])
+    batch_stats = copy(model.variables.get("batch_stats", {}))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        ema=ema_init(params, batch_stats),
+    )
+
+
+def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False):
+    """Build the jitted train step.
+
+    batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
+    (+ "masks" for segmentation). Returns (new_state, metrics).
+    """
+
+    def step_fn(state: TrainState, batch):
+        def loss_of(params):
+            out, mutated = model.module.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            if has_masks:
+                total, comps = loss_fn(out, batch["targets"], batch["valid"],
+                                       batch.get("masks"))
+            else:
+                total, comps = loss_fn(out, batch["targets"], batch["valid"])
+            return total, (comps, mutated["batch_stats"])
+
+        (total, (comps, new_stats)), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, new_stats)
+        new_state = TrainState(state.step + 1, params, new_stats, opt_state, ema)
+        metrics = dict(comps, total=total, grad_norm=optax.global_norm(grads))
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    rep = replicated_spec(mesh)
+    data = shard_batch_spec(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=0,
+    )
