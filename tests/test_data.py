@@ -1,0 +1,142 @@
+"""Data pipeline tests: letterbox geometry, augment label math, dataset +
+loader shapes, mosaic label sanity, synthetic dataset round-trip."""
+
+import numpy as np
+import pytest
+
+from yolov5_tpu.data.augment import box_candidates, flip_lr, random_perspective
+from yolov5_tpu.data.dataset import Loader, YOLODataset, create_loader, load_label_file
+from yolov5_tpu.data.letterbox import letterbox
+from yolov5_tpu.data.synthetic import generate_shapes_dataset
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def shapes_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("shapes")
+    cfg = generate_shapes_dataset(root, n_images=12, img_size=160, seed=3,
+                                  splits=(("train", 1.0),))
+    return root, cfg
+
+
+def test_letterbox_geometry():
+    im = np.zeros((480, 640, 3), np.uint8)
+    out, ratio, (dw, dh) = letterbox(im, 640)
+    assert out.shape == (640, 640, 3)
+    assert ratio == (1.0, 1.0)
+    assert (dw, dh) == (0.0, 80.0)
+    # non-square, scaledown only
+    im2 = np.zeros((100, 50, 3), np.uint8)
+    out2, r2, _ = letterbox(im2, 640, scaleup=False)
+    assert out2.shape == (640, 640, 3)
+    assert r2 == (1.0, 1.0)  # never upscaled
+
+
+def test_letterbox_auto_stride():
+    im = np.zeros((480, 640, 3), np.uint8)
+    out, _, _ = letterbox(im, 640, auto=True, stride=32)
+    assert out.shape[0] % 32 == 0 and out.shape[1] % 32 == 0
+    assert out.shape[0] == 480  # 480 is already a multiple of 32
+
+
+def test_flip_lr_labels():
+    im = np.zeros((100, 200, 3), np.uint8)
+    labels = np.array([[0, 20.0, 10, 60, 30]])  # cls, xyxy
+    im2, l2 = flip_lr(im, labels.copy())
+    np.testing.assert_allclose(l2[0, 1:], [140, 10, 180, 30])
+
+
+def test_random_perspective_identity():
+    """With zero magnitudes the warp is identity and labels survive."""
+    im = np.full((64, 64, 3), 100, np.uint8)
+    labels = np.array([[0, 10.0, 10, 50, 50]])
+    out, l2, _ = random_perspective(im, labels.copy(), degrees=0, translate=0,
+                                    scale=0, shear=0, perspective=0)
+    assert out.shape == im.shape
+    np.testing.assert_allclose(l2[0, 1:], labels[0, 1:], atol=1e-6)
+
+
+def test_box_candidates_filters_degenerate():
+    before = np.array([[0.0, 0, 20, 20]]).T
+    after_ok = np.array([[0.0, 0, 18, 18]]).T
+    after_tiny = np.array([[0.0, 0, 1, 1]]).T
+    assert box_candidates(before, after_ok)[0]
+    assert not box_candidates(before, after_tiny)[0]
+
+
+def test_label_file_parsing(tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_text("1 0.5 0.5 0.2 0.1\n2 0.25 0.25 0.1 0.1\n")
+    labels, segs = load_label_file(str(p))
+    assert labels.shape == (2, 5) and not segs
+    # polygon row
+    p2 = tmp_path / "y.txt"
+    p2.write_text("0 0.1 0.1 0.9 0.1 0.9 0.9 0.1 0.9\n")
+    labels2, segs2 = load_label_file(str(p2))
+    assert labels2.shape == (1, 5) and len(segs2) == 1
+    np.testing.assert_allclose(labels2[0], [0, 0.5, 0.5, 0.8, 0.8], atol=1e-6)
+
+
+def test_dataset_val_mode(shapes_root):
+    root, cfg = shapes_root
+    ds = YOLODataset(cfg["train"], img_size=160, augment=False)
+    im, labels, segs = ds.get_item(0)
+    assert im.shape == (160, 160, 3) and im.dtype == np.uint8
+    assert labels.ndim == 2 and labels.shape[1] == 5
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+def test_dataset_augment_mosaic(shapes_root):
+    root, cfg = shapes_root
+    ds = YOLODataset(cfg["train"], img_size=160, augment=True,
+                     hyp={"mosaic": 1.0, "fliplr": 0.5})
+    rng = np.random.default_rng(0)
+    im, labels, _ = ds.get_item(0, rng)
+    assert im.shape == (160, 160, 3)
+    assert len(labels) >= 1  # mosaic of 4 images keeps some objects
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+
+def test_loader_batches_fixed_shape(shapes_root):
+    root, cfg = shapes_root
+    ds, loader = create_loader(cfg["train"], img_size=160, batch_size=4,
+                               augment=True, max_labels=32, workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3  # 12 images / bs 4
+    for b in batches:
+        assert b["images"].shape == (4, 160, 160, 3)
+        assert b["targets"].shape == (4, 32, 5)
+        assert b["valid"].shape == (4, 32)
+        assert b["valid"].sum() > 0
+
+
+def test_loader_determinism_and_sharding(shapes_root):
+    root, cfg = shapes_root
+    ds = YOLODataset(cfg["train"], img_size=160, augment=True)
+    l1 = Loader(ds, batch_size=2, shuffle=True, seed=7, workers=1)
+    l2 = Loader(ds, batch_size=2, shuffle=True, seed=7, workers=1)
+    b1, b2 = next(iter(l1)), next(iter(l2))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["targets"], b2["targets"])
+    # epoch changes the stream
+    l1.set_epoch(1)
+    b3 = next(iter(l1))
+    assert not np.array_equal(b1["images"], b3["images"])
+    # host sharding partitions indices disjointly
+    la = Loader(ds, batch_size=2, shuffle=False, shard=(0, 2))
+    lb = Loader(ds, batch_size=2, shuffle=False, shard=(1, 2))
+    ia, ib = la._indices(0), lb._indices(0)
+    assert len(set(ia) & set(ib)) == 0
+    assert len(ia) + len(ib) == len(ds)
+
+
+def test_segment_masks_batch(tmp_path):
+    cfg = generate_shapes_dataset(tmp_path / "seg", n_images=6, img_size=160,
+                                  seed=1, segments=True)
+    ds, loader = create_loader(cfg["train"], img_size=160, batch_size=2,
+                               augment=False, masks=True, mask_ratio=4,
+                               workers=1, max_labels=16)
+    b = next(iter(loader))
+    assert b["masks"].shape == (2, 40, 40)
+    assert b["masks"].max() >= 1  # at least one instance rasterized

@@ -1,0 +1,384 @@
+"""YOLO-format dataset + fixed-shape batch loader (host side).
+
+Covers the reference's `LoadImagesAndLabels` (+mosaic) pipeline
+(/root/reference/utils/dataloaders.py:469-891) with the key TPU departure:
+batches are *fixed-shape* — images (bs, s, s, 3) uint8 and labels padded to
+(bs, max_labels, 5) [cls, x, y, w, h] normalized with a validity mask — so
+the jitted train step never recompiles.
+
+Layout convention (same as the ecosystem): images under .../images/...,
+labels as parallel .txt files under .../labels/... with rows
+`cls x_center y_center w h` normalized to [0, 1].
+
+Sharding: `create_loader(..., shard=(rank, world))` gives each host a
+deterministic per-epoch subset — the SmartDistributedSampler equivalent
+(reference utils/dataloaders.py:79-103).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from yolov5_tpu.data.augment import (
+    augment_hsv,
+    flip_lr,
+    flip_ud,
+    mixup,
+    random_perspective,
+)
+from yolov5_tpu.data.letterbox import letterbox
+
+IMG_FORMATS = {"bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm"}
+
+DEFAULT_HYP = {
+    "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+    "degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+    "perspective": 0.0, "flipud": 0.0, "fliplr": 0.5,
+    "mosaic": 1.0, "mixup": 0.0, "copy_paste": 0.0,
+}
+
+
+def img2label_paths(img_paths):
+    """.../images/xx.jpg -> .../labels/xx.txt (reference dataloaders.py:23-24)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return [sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt" for p in img_paths]
+
+
+def find_images(path):
+    """Accept a dir, a glob, a txt listing, or a list thereof."""
+    files = []
+    for p in path if isinstance(path, (list, tuple)) else [path]:
+        p = Path(p)
+        if p.is_dir():
+            files += sorted(str(f) for f in p.rglob("*.*"))
+        elif p.suffix == ".txt" and p.is_file():
+            root = p.parent
+            for line in p.read_text().splitlines():
+                line = line.strip()
+                if line:
+                    files.append(str((root / line).resolve()) if line.startswith("./") else line)
+        elif p.is_file():
+            files.append(str(p))
+        else:
+            import glob
+
+            files += sorted(glob.glob(str(p), recursive=True))
+    return [f for f in files if f.rsplit(".", 1)[-1].lower() in IMG_FORMATS]
+
+
+def load_label_file(path):
+    """Parse one label txt -> (n, 5) float32 [cls, x, y, w, h] (+ polygon
+    segments if rows have >5 numbers, reference verify_image_label style)."""
+    segments = []
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), np.float32), segments
+    rows = []
+    with open(path) as f:
+        for line in f.read().strip().splitlines():
+            v = line.split()
+            if len(v) > 5:  # polygon: cls x1 y1 x2 y2 ...
+                cls = float(v[0])
+                seg = np.array(v[1:], np.float32).reshape(-1, 2)
+                x1, y1 = seg.min(0)
+                x2, y2 = seg.max(0)
+                rows.append([cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+                segments.append(seg)
+            elif len(v) == 5:
+                rows.append([float(x) for x in v])
+    labels = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
+    labels[:, 1:] = labels[:, 1:].clip(0, 1)
+    return labels, segments
+
+
+class YOLODataset:
+    """Index-addressable dataset yielding (image uint8 HWC, labels normalized
+    xywh, segments) with the reference augmentation stack."""
+
+    def __init__(self, path, img_size=640, augment=False, hyp=None,
+                 single_cls=False, stride=32, pad=0.0, use_segments=False):
+        self.img_size = img_size
+        self.augment = augment
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.single_cls = single_cls
+        self.use_segments = use_segments
+        self.im_files = find_images(path)
+        if not self.im_files:
+            raise FileNotFoundError(f"no images found in {path}")
+        self.label_files = img2label_paths(self.im_files)
+        loaded = [load_label_file(p) for p in self.label_files]
+        self.labels = [l for l, _ in loaded]
+        self.segments = [s for _, s in loaded]
+        if single_cls:
+            for l in self.labels:
+                l[:, 0] = 0
+        self.n = len(self.im_files)
+        self.indices = np.arange(self.n)
+        self.mosaic_border = (-img_size // 2, -img_size // 2)
+
+    def __len__(self):
+        return self.n
+
+    # -- image io ---------------------------------------------------------
+    def load_image(self, i):
+        """Read + resize long side to img_size (reference dataloaders.py:768-788).
+        Returns (im, (h0, w0), (h, w))."""
+        import cv2
+
+        im = cv2.imread(self.im_files[i])
+        if im is None:
+            raise FileNotFoundError(f"image not found {self.im_files[i]}")
+        h0, w0 = im.shape[:2]
+        r = self.img_size / max(h0, w0)
+        if r != 1:
+            interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
+            im = cv2.resize(im, (math.ceil(w0 * r), math.ceil(h0 * r)), interpolation=interp)
+        return im, (h0, w0), im.shape[:2]
+
+    # -- label geometry ---------------------------------------------------
+    @staticmethod
+    def _denorm(labels, w, h, padw=0, padh=0):
+        """normalized xywh -> pixel xyxy."""
+        out = labels.copy()
+        if len(out):
+            x, y, bw, bh = labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4]
+            out[:, 1] = w * (x - bw / 2) + padw
+            out[:, 2] = h * (y - bh / 2) + padh
+            out[:, 3] = w * (x + bw / 2) + padw
+            out[:, 4] = h * (y + bh / 2) + padh
+        return out
+
+    @staticmethod
+    def _norm(labels, w, h):
+        """pixel xyxy -> normalized xywh (clipped)."""
+        out = labels.copy()
+        if len(out):
+            x1 = labels[:, 1].clip(0, w)
+            y1 = labels[:, 2].clip(0, h)
+            x2 = labels[:, 3].clip(0, w)
+            y2 = labels[:, 4].clip(0, h)
+            out[:, 1] = (x1 + x2) / 2 / w
+            out[:, 2] = (y1 + y2) / 2 / h
+            out[:, 3] = (x2 - x1) / w
+            out[:, 4] = (y2 - y1) / h
+        return out
+
+    # -- samples ----------------------------------------------------------
+    def load_mosaic(self, index, rng):
+        """4-image mosaic on a 2s x 2s canvas + random_perspective crop back
+        to s x s (reference dataloaders.py:798-855)."""
+        s = self.img_size
+        yc = int(rng.uniform(-self.mosaic_border[0], 2 * s + self.mosaic_border[0]))
+        xc = int(rng.uniform(-self.mosaic_border[1], 2 * s + self.mosaic_border[1]))
+        idxs = [index] + list(rng.choice(self.indices, 3))
+        im4 = np.full((s * 2, s * 2, 3), 114, np.uint8)
+        labels4 = []
+        segments4 = []
+        for i, idx in enumerate(idxs):
+            im, _, (h, w) = self.load_image(idx)
+            if i == 0:  # top left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+            elif i == 1:  # top right
+                x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+                x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+            elif i == 2:  # bottom left
+                x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+            else:  # bottom right
+                x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+                x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+            im4[y1a:y2a, x1a:x2a] = im[y1b:y2b, x1b:x2b]
+            padw, padh = x1a - x1b, y1a - y1b
+            lb = self._denorm(self.labels[idx], w, h, padw, padh)
+            labels4.append(lb)
+            for seg in self.segments[idx]:
+                seg = seg.copy()
+                seg[:, 0] = seg[:, 0] * w + padw
+                seg[:, 1] = seg[:, 1] * h + padh
+                segments4.append(seg)
+        labels4 = np.concatenate(labels4, 0) if labels4 else np.zeros((0, 5), np.float32)
+        labels4[:, 1:] = labels4[:, 1:].clip(0, 2 * s)
+        for seg in segments4:
+            np.clip(seg, 0, 2 * s, out=seg)
+
+        hyp = self.hyp
+        im4, labels4, segments4 = random_perspective(
+            im4, labels4, segments4,
+            degrees=hyp["degrees"], translate=hyp["translate"], scale=hyp["scale"],
+            shear=hyp["shear"], perspective=hyp["perspective"],
+            border=self.mosaic_border, rng=rng,
+        )
+        return im4, labels4, segments4
+
+    def get_item(self, index, rng=None):
+        """One training/val sample: (im uint8 (s, s, 3), labels (n, 5)
+        normalized xywh, segments list in px)."""
+        rng = rng or np.random.default_rng()
+        hyp = self.hyp
+        s = self.img_size
+        if self.augment and rng.random() < hyp["mosaic"]:
+            im, labels, segments = self.load_mosaic(index, rng)
+            if rng.random() < hyp["mixup"]:
+                im2, labels2, seg2 = self.load_mosaic(int(rng.choice(self.indices)), rng)
+                im, labels = mixup(im, labels, im2, labels2, rng=rng)
+                segments = segments + seg2
+        else:
+            im, (h0, w0), (h, w) = self.load_image(index)
+            im, ratio, pad = letterbox(im, s, auto=False, scaleup=self.augment)
+            labels = self._denorm(self.labels[index], ratio[0] * w, ratio[1] * h,
+                                  pad[0], pad[1])
+            segments = []
+            for seg in self.segments[index]:
+                seg = seg.copy()
+                seg[:, 0] = seg[:, 0] * ratio[0] * w + pad[0]
+                seg[:, 1] = seg[:, 1] * ratio[1] * h + pad[1]
+                segments.append(seg)
+            if self.augment:
+                im, labels, segments = random_perspective(
+                    im, labels, segments,
+                    degrees=hyp["degrees"], translate=hyp["translate"],
+                    scale=hyp["scale"], shear=hyp["shear"],
+                    perspective=hyp["perspective"], rng=rng,
+                )
+
+        if self.augment:
+            augment_hsv(im, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng=rng)
+            if rng.random() < hyp["flipud"]:
+                im, labels = flip_ud(im, labels, segments)
+            if rng.random() < hyp["fliplr"]:
+                im, labels = flip_lr(im, labels, segments)
+
+        labels = self._norm(labels, im.shape[1], im.shape[0])
+        # drop degenerate rows
+        if len(labels):
+            keep = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)
+            labels = labels[keep]
+            segments = [s_ for s_, k in zip(segments, keep) if k] if segments else []
+        return np.ascontiguousarray(im), labels, segments
+
+
+def rasterize_masks(segments, labels, hm, wm, img_px, overlap=True):
+    """Polygon segments (px coords at img_px scale) -> instance masks at
+    (hm, wm). overlap=True gives one int map with instance i+1 written in
+    descending-area order (reference polygons2masks_overlap)."""
+    import cv2
+
+    if overlap:
+        out = np.zeros((hm, wm), np.int32)
+    else:
+        out = np.zeros((max(len(labels), 1), hm, wm), np.uint8)
+    scale_x, scale_y = wm / img_px, hm / img_px
+    areas = []
+    polys = []
+    for seg in segments:
+        p = seg.copy()
+        p[:, 0] *= scale_x
+        p[:, 1] *= scale_y
+        polys.append(p.astype(np.int32))
+        areas.append(cv2.contourArea(p.astype(np.float32)))
+    order = np.argsort(-np.asarray(areas)) if areas else []
+    for rank, i in enumerate(order):
+        if overlap:
+            cv2.fillPoly(out, [polys[i]], color=int(i) + 1)
+        else:
+            cv2.fillPoly(out[i], [polys[i]], color=1)
+    return out
+
+
+class Loader:
+    """Threaded fixed-shape batch loader with per-epoch deterministic
+    shuffling and host sharding."""
+
+    def __init__(self, dataset: YOLODataset, batch_size=16, shuffle=False,
+                 max_labels=128, workers=8, seed=0, shard=(0, 1),
+                 drop_last=True, masks=False, mask_ratio=4, overlap=True):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.max_labels = max_labels
+        self.workers = max(1, workers)
+        self.seed = seed
+        self.rank, self.world = shard
+        self.drop_last = drop_last
+        self.masks = masks
+        self.mask_ratio = mask_ratio
+        self.overlap = overlap
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self._indices(0))
+        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
+
+    def _indices(self, epoch):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            idx = np.random.default_rng(self.seed + epoch).permutation(idx)
+        return idx[idx % self.world == self.rank] if self.world > 1 else idx
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def _collate(self, samples):
+        bs = len(samples)
+        s = self.ds.img_size
+        images = np.zeros((bs, s, s, 3), np.uint8)
+        targets = np.zeros((bs, self.max_labels, 5), np.float32)
+        valid = np.zeros((bs, self.max_labels), bool)
+        hm = wm = s // self.mask_ratio
+        if self.masks:
+            gt_masks = (np.zeros((bs, hm, wm), np.int32) if self.overlap
+                        else np.zeros((bs, self.max_labels, hm, wm), np.uint8))
+        batch = {}
+        for b, (im, labels, segments) in enumerate(samples):
+            images[b] = im[..., ::-1]  # BGR -> RGB
+            n = min(len(labels), self.max_labels)
+            if n:
+                targets[b, :n] = labels[:n]
+                valid[b, :n] = True
+            if self.masks and segments:
+                m = rasterize_masks(segments[: self.max_labels], labels, hm, wm,
+                                    s, overlap=self.overlap)
+                if self.overlap:
+                    gt_masks[b] = m
+                else:
+                    gt_masks[b, : m.shape[0]] = m
+        batch = {"images": images, "targets": targets, "valid": valid}
+        if self.masks:
+            batch["masks"] = gt_masks
+        return batch
+
+    def __iter__(self):
+        idx = self._indices(self.epoch)
+        nb = len(self)
+        base_seed = self.seed * 100003 + self.epoch * 1009
+        with ThreadPoolExecutor(self.workers) as pool:
+            def fetch(i):
+                rng = np.random.default_rng(base_seed + int(i))
+                return self.ds.get_item(int(i), rng)
+
+            for bi in range(nb):
+                chunk = idx[bi * self.bs : (bi + 1) * self.bs]
+                samples = list(pool.map(fetch, chunk))
+                while len(samples) < self.bs:  # pad final partial batch
+                    samples.append(samples[-1])
+                yield self._collate(samples)
+
+
+def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
+                  shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
+                  single_cls=False, masks=False, mask_ratio=4, overlap=True):
+    """Dataset + loader in one call (reference create_dataloader,
+    utils/dataloaders.py:106-164)."""
+    ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
+                     single_cls=single_cls, use_segments=masks)
+    loader = Loader(ds, batch_size=batch_size,
+                    shuffle=augment if shuffle is None else shuffle,
+                    max_labels=max_labels, workers=workers, seed=seed,
+                    shard=shard, masks=masks, mask_ratio=mask_ratio,
+                    overlap=overlap)
+    return ds, loader
