@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Detection training CLI (the reference train.py equivalent).
+
+Usage:
+  python train.py --data shapes.yaml --cfg yolov5n --epochs 3 --batch-size 16
+"""
+
+import argparse
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="", help="initial weights (.ckpt or torch .pt)")
+    p.add_argument("--cfg", default="yolov5n", help="model config name/path")
+    p.add_argument("--data", required=True, help="dataset yaml")
+    p.add_argument("--hyp", default=None, help="hyp preset name or yaml")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--imgsz", "--img", type=int, default=640)
+    p.add_argument("--optimizer", default="sgd", choices=["sgd", "adam", "adamw"])
+    p.add_argument("--cos-lr", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--patience", type=int, default=100)
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--noval", action="store_true")
+    p.add_argument("--save-period", type=int, default=-1)
+    p.add_argument("--resume", default="", help="checkpoint to resume from")
+    p.add_argument("--max-labels", type=int, default=128)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_opt()
+    if opt.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from yolov5_tpu.train.run import run
+
+    run(
+        data=opt.data, cfg=opt.cfg, hyp=opt.hyp, weights=opt.weights,
+        epochs=opt.epochs, batch_size=opt.batch_size, imgsz=opt.imgsz,
+        optimizer=opt.optimizer, cos_lr=opt.cos_lr, seed=opt.seed,
+        workers=opt.workers, single_cls=opt.single_cls, patience=opt.patience,
+        project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
+        nosave=opt.nosave, noval=opt.noval, save_period=opt.save_period,
+        resume=opt.resume, max_labels=opt.max_labels, dtype=opt.dtype,
+    )
+
+
+if __name__ == "__main__":
+    main()

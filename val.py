@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Validation CLI (the reference val.py equivalent).
+
+Usage:
+  python val.py --data shapes.yaml --weights runs/train/exp/best.ckpt
+"""
+
+import argparse
+import json
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--weights", default="")
+    p.add_argument("--cfg", default="yolov5s")
+    p.add_argument("--imgsz", "--img", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", default="val", choices=["train", "val", "test"])
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--half", action="store_true")
+    p.add_argument("--device", default="")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_opt()
+    if opt.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from yolov5_tpu.eval.evaluator import run
+
+    results = run(
+        data=opt.data, weights=opt.weights, cfg=opt.cfg, imgsz=opt.imgsz,
+        batch_size=opt.batch_size, conf_thres=opt.conf_thres,
+        iou_thres=opt.iou_thres, max_det=opt.max_det, task=opt.task,
+        single_cls=opt.single_cls, workers=opt.workers, half=opt.half,
+    )
+    print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
+
+
+if __name__ == "__main__":
+    main()

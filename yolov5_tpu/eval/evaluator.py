@@ -1,0 +1,137 @@
+"""Validation loop: device forward + decode + NMS, host matching + AP.
+
+Equivalent of /root/reference/val.py:112-393. The device side is one jitted
+function per image-size; matching/AP stay in numpy for exactness (SURVEY §7).
+Predictions and labels are compared in letterbox space — equivalent to the
+reference's native-space matching up to boundary clipping because the
+letterbox transform is a similarity.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.eval.metrics import ap_per_class, fitness, process_batch
+from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+
+def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
+             max_det=300, max_nms=4096, multi_label=True, verbose=False,
+             compute_loss=None):
+    """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds."""
+    iouv = np.linspace(0.5, 0.95, 10)
+    img_size = loader.ds.img_size
+
+    # cache the jitted forward on the model so per-epoch validation during
+    # training reuses the compiled executable
+    forward = getattr(model, "_eval_forward", None)
+    if forward is None:
+        @jax.jit
+        def forward(v, images):
+            x = images.astype(model.dtype) / 255.0
+            out = model.apply(v, x, train=False)
+            maps = out[0] if isinstance(out, tuple) else out
+            return model.decode(maps)
+
+        model._eval_forward = forward
+
+    stats = []
+    losses = []
+    t_fwd = t_nms = t_host = 0.0
+    n_images = 0
+    for batch in loader:
+        images = jnp.asarray(batch["images"])
+        t0 = time.perf_counter()
+        preds = forward(variables, images)
+        preds.block_until_ready()
+        t1 = time.perf_counter()
+        dets = non_max_suppression(
+            preds, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=multi_label, max_det=max_det, max_nms=max_nms,
+        )
+        dets = detections_to_numpy(dets)
+        t2 = time.perf_counter()
+
+        targets = batch["targets"]
+        valid = batch["valid"]
+        bs = images.shape[0]
+        n_images += bs
+        for b in range(bs):
+            pred = dets[b]  # (n, 6) xyxy+conf+cls in letterbox px
+            lab = targets[b][valid[b]]
+            # labels: normalized xywh -> letterbox-space xyxy px
+            if len(lab):
+                xyxy = np.empty((len(lab), 4), np.float32)
+                xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * img_size
+                xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * img_size
+                xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * img_size
+                xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * img_size
+                labels = np.concatenate([lab[:, 0:1], xyxy], axis=1)
+            else:
+                labels = np.zeros((0, 5), np.float32)
+            correct = process_batch(pred, labels, iouv)
+            stats.append((correct, pred[:, 4], pred[:, 5], labels[:, 0]))
+        t3 = time.perf_counter()
+        t_fwd += t1 - t0
+        t_nms += t2 - t1
+        t_host += t3 - t2
+
+    tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
+    conf = np.concatenate([s[1] for s in stats]) if stats else np.zeros(0)
+    pred_cls = np.concatenate([s[2] for s in stats]) if stats else np.zeros(0)
+    target_cls = np.concatenate([s[3] for s in stats]) if stats else np.zeros(0)
+
+    if tp.shape[0] and target_cls.shape[0]:
+        res = ap_per_class(tp, conf, pred_cls, target_cls)
+        ap50 = res["ap"][:, 0]
+        ap = res["ap"].mean(1)
+        mp, mr = res["p"].mean(), res["r"].mean()
+        map50, mean_ap = ap50.mean(), ap.mean()
+        per_class = {int(c): (float(a50), float(a)) for c, a50, a in
+                     zip(res["classes"], ap50, ap)}
+    else:
+        mp = mr = map50 = mean_ap = 0.0
+        per_class = {}
+
+    ms = lambda t: 1000 * t / max(n_images, 1)
+    out = {
+        "mp": float(mp), "mr": float(mr), "map50": float(map50),
+        "map": float(mean_ap),
+        "fitness": fitness([mp, mr, map50, mean_ap]),
+        "per_class": per_class,
+        "speed_ms": {"forward": ms(t_fwd), "nms": ms(t_nms), "host": ms(t_host)},
+        "images": n_images,
+    }
+    if verbose:
+        print(
+            f"val: {n_images} imgs  P {mp:.3f}  R {mr:.3f}  mAP50 {map50:.3f} "
+            f"mAP50-95 {mean_ap:.3f}  ({out['speed_ms']})"
+        )
+    return out
+
+
+def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
+        conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
+        workers=8, half=False, verbose=True, task="val"):
+    """Standalone validation entry (reference val.py:112-440)."""
+    import jax.numpy as jnp
+
+    from yolov5_tpu.data.dataset import create_loader
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.utils.general import check_dataset, check_img_size
+
+    data_dict = check_dataset(data)
+    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half, fuse=True)
+    imgsz = check_img_size(imgsz, s=max(det.model.stride))
+    split = data_dict.get(task) or data_dict.get("val") or data_dict["train"]
+    _, loader = create_loader(split, img_size=imgsz, batch_size=batch_size,
+                              augment=False, shuffle=False, workers=workers,
+                              single_cls=single_cls)
+    results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
+                       iou_thres=iou_thres, max_det=max_det, verbose=verbose)
+    return results

@@ -1,0 +1,185 @@
+"""High-level inference: load weights -> jitted forward+decode -> on-device
+NMS -> native-space boxes -> annotate/save.
+
+The `Detector` class is the AutoShape/DetectMultiBackend analog
+(/root/reference/models/common.py:456-1101) for this framework's checkpoints
+and for reference .pt weights; `run()` is the detect.py driver
+(/root/reference/detect.py:70-324).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.data.sources import LoadImages, batched
+from yolov5_tpu.models import DetectionModel
+from yolov5_tpu.models.weights import fuse_conv_bn
+from yolov5_tpu.ops.boxes import scale_boxes
+from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+from yolov5_tpu.utils.general import increment_path
+
+# a readable default palette (BGR) for annotation
+_PALETTE = [
+    (56, 56, 255), (151, 157, 255), (31, 112, 255), (29, 178, 255),
+    (49, 210, 207), (10, 249, 72), (23, 204, 146), (134, 219, 61),
+    (52, 147, 26), (187, 212, 0), (168, 153, 44), (255, 194, 0),
+    (147, 69, 52), (255, 115, 100), (236, 24, 0), (255, 56, 132),
+    (133, 0, 82), (255, 56, 203), (200, 149, 255), (199, 55, 255),
+]
+
+
+def color_for(cls_id):
+    return _PALETTE[int(cls_id) % len(_PALETTE)]
+
+
+def annotate(im, boxes, scores, classes, names, line_width=None):
+    """Draw boxes + labels on a BGR image in place."""
+    import cv2
+
+    lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
+    for box, score, cls in zip(boxes, scores, classes):
+        c = color_for(cls)
+        p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+        cv2.rectangle(im, p1, p2, c, lw, cv2.LINE_AA)
+        label = f"{names.get(int(cls), int(cls))} {score:.2f}"
+        tf = max(lw - 1, 1)
+        w, h = cv2.getTextSize(label, 0, lw / 3, tf)[0]
+        outside = p1[1] - h >= 3
+        p2t = (p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3)
+        cv2.rectangle(im, p1, p2t, c, -1, cv2.LINE_AA)
+        cv2.putText(im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
+                    0, lw / 3, (255, 255, 255), tf, cv2.LINE_AA)
+    return im
+
+
+class Detector:
+    """Weights in, detections out. Accepts our .ckpt or reference .pt."""
+
+    def __init__(self, weights="", cfg="yolov5s", imgsz=640, dtype=jnp.float32,
+                 fuse=True, half=False):
+        if half:
+            dtype = jnp.bfloat16
+        names = None
+        if str(weights).endswith(".ckpt"):
+            from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
+
+            payload, meta = load_checkpoint(weights)
+            cfg = meta.get("cfg", cfg)
+            self.model = DetectionModel(cfg, dtype=dtype)
+            self.model.variables = variables_from_checkpoint(payload, prefer_ema=True)
+            names = {int(k): v for k, v in meta.get("names", {}).items()} or None
+        elif str(weights).endswith(".pt"):
+            from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
+
+            self.model = DetectionModel(cfg, dtype=dtype)
+            sd = load_torch_state_dict(weights)
+            self.model.variables, missed = import_torch_weights(self.model, sd)
+            if missed:
+                print(f"weight import: {len(missed)} unmatched entries")
+        else:
+            self.model = DetectionModel(cfg, dtype=dtype)
+
+        self.variables = self.model.variables
+        self.fused = False
+        if fuse:
+            try:
+                self.variables = fuse_conv_bn(self.model.variables)
+                self.model = DetectionModel(self.model.cfg, dtype=dtype, fused=True)
+                self.fused = True
+            except Exception as e:  # pragma: no cover
+                print(f"fuse failed ({e}); running unfused")
+        self.names = names or self.model.names
+        self.imgsz = imgsz
+        self.dtype = dtype
+
+        model = self.model
+
+        @jax.jit
+        def _forward(variables, images):
+            x = images.astype(dtype) / 255.0
+            maps = model.module.apply(variables, x, train=False)
+            return model.decode(maps)
+
+        self._forward = _forward
+
+    def warmup(self, batch_size=1):
+        im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
+        self._forward(self.variables, im).block_until_ready()
+
+    def __call__(self, images_uint8, conf_thres=0.25, iou_thres=0.45,
+                 max_det=1000, classes=None, agnostic=False, max_nms=2048):
+        """images: (bs, s, s, 3) uint8 RGB (letterboxed). Returns Detections."""
+        preds = self._forward(self.variables, jnp.asarray(images_uint8))
+        class_filter = None
+        if classes is not None:
+            class_filter = np.zeros(self.model.nc, bool)
+            class_filter[list(classes)] = True
+            class_filter = jnp.asarray(class_filter)
+        return non_max_suppression(
+            preds, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+            agnostic=agnostic, class_filter=class_filter, max_nms=max_nms,
+        )
+
+
+def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
+        iou_thres=0.45, max_det=1000, classes=None, agnostic_nms=False,
+        save_txt=False, save_conf=False, save_img=True, project="runs/detect",
+        name="exp", exist_ok=False, line_thickness=None, batch_size=1,
+        half=False, verbose=True):
+    """Detect over a source; save annotated images / label txts. Returns
+    the list of (path, detections (n,6) native-space) results."""
+    import cv2
+
+    save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
+    (save_dir / "labels").mkdir(exist_ok=True)
+    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half)
+    det.warmup(batch_size)
+    source_iter = LoadImages(source, img_size=imgsz)
+    results = []
+    t_total = 0.0
+    for group in batched(source_iter, batch_size):
+        ims = np.stack([g[1] for g in group])
+        t0 = time.perf_counter()
+        dets = det(ims, conf_thres, iou_thres, max_det, classes, agnostic_nms)
+        rows = detections_to_numpy(dets)
+        t_total += time.perf_counter() - t0
+        for (path, im_lb, im0, meta), r in zip(group, rows):
+            if len(r):
+                r = np.asarray(r)
+                r[:, :4] = np.asarray(
+                    scale_boxes(im_lb.shape[:2], r[:, :4], im0.shape[:2])
+                )
+            results.append((path, r))
+            if verbose:
+                counts = {}
+                for c in r[:, 5].astype(int):
+                    counts[c] = counts.get(c, 0) + 1
+                desc = ", ".join(f"{n} {det.names.get(c, c)}" for c, n in counts.items())
+                print(f"{path}: {len(r)} dets  {desc}")
+            stem = Path(path).stem
+            if save_txt and len(r):
+                h0, w0 = im0.shape[:2]
+                lines = []
+                for *xyxy, conf, cls in r:
+                    x1, y1, x2, y2 = xyxy
+                    row = [int(cls), (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0,
+                           (x2 - x1) / w0, (y2 - y1) / h0]
+                    if save_conf:
+                        row.append(conf)
+                    lines.append(" ".join(f"{v:.6g}" for v in row))
+                (save_dir / "labels" / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+            if save_img:
+                im_out = im0.copy()
+                annotate(im_out, r[:, :4], r[:, 4], r[:, 5], det.names, line_thickness)
+                cv2.imwrite(str(save_dir / Path(path).name), im_out)
+    if verbose:
+        n = max(len(results), 1)
+        print(f"done: {len(results)} images, {1000 * t_total / n:.1f} ms/img "
+              f"(forward+NMS), results in {save_dir}")
+    return results, save_dir

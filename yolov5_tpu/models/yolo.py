@@ -264,6 +264,48 @@ class YOLOGraph(nn.Module):
         return out
 
 
+def _eager_init(module, seed, ch, dtype, sizes=(64, 128, 256)):
+    """Draw params without running or compiling the forward pass.
+
+    `jax.eval_shape` gives the full variable structure abstractly (free);
+    leaves are then drawn host-side by kind — conv/dense kernels get lecun-
+    normal (flax's default), biases/means zeros, scales/vars ones. Running
+    linen's real init would either compile the whole graph (slow) or execute
+    eagerly (catastrophic on a tunneled TPU backend: one network round trip
+    per op)."""
+    key = jax.random.PRNGKey(seed)
+    shapes = None
+    for px in sizes:  # smallest input the arch's strides allow
+        try:
+            dummy = jax.ShapeDtypeStruct((1, px, px, ch), dtype)
+            shapes = jax.eval_shape(
+                lambda k, x: module.init(k, x, train=False), key, dummy
+            )
+            break
+        except Exception:
+            if px == sizes[-1]:
+                raise
+
+    rng = np.random.default_rng(np.uint32(seed) + 0x5F3759DF)
+
+    def draw(path, sds):
+        # host numpy leaves: creating device arrays here would round-trip a
+        # tunneled TPU once per leaf; jit transfers them in one batch later
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        shape, dt = sds.shape, sds.dtype
+        if name == "kernel":
+            # lecun_normal: truncated normal, std = sqrt(1/fan_in)
+            fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
+            std = float(np.sqrt(1.0 / max(fan_in, 1))) / 0.87962566103423978
+            v = np.clip(rng.standard_normal(shape), -2.0, 2.0) * std
+            return v.astype(dt)
+        if name in ("scale", "var"):
+            return np.ones(shape, dt)
+        return np.zeros(shape, dt)  # bias, mean, everything else
+
+    return jax.tree_util.tree_map_with_path(draw, shapes)
+
+
 def check_anchor_order(anchors, strides):
     """Ensure anchor areas are ordered like strides (reference
     utils/autoanchor.py:16-23); returns possibly-reversed anchors."""
@@ -302,17 +344,7 @@ class DetectionModel:
         # init params at a small size (param shapes don't depend on H/W), then
         # probe strides with a zero-cost abstract forward at 256px
         # (reference does a real 256px forward, models/yolo.py:248-257)
-        key = jax.random.PRNGKey(seed)
-        self.variables = None
-        for init_px in (64, 128, 256):  # smallest size the arch's strides allow
-            try:
-                dummy_init = jnp.zeros((1, init_px, init_px, ch), dtype)
-                with jax.disable_jit():  # eager init: no XLA compile just to draw params
-                    self.variables = self.module.init(key, dummy_init, train=False)
-                break
-            except Exception:
-                if init_px == 256:
-                    raise
+        self.variables = _eager_init(self.module, seed, ch, dtype)
         s = 256
         dummy = jax.ShapeDtypeStruct((1, s, s, ch), dtype)
         raw = jax.eval_shape(
@@ -379,9 +411,7 @@ class ClassificationModel:
         save = tuple(s for s in save if s < cutoff)
         self.specs, self.save = specs, save
         self.module = YOLOGraph(tuple(specs), save, fused=fused, dtype=dtype)
-        key = jax.random.PRNGKey(seed)
-        dummy = jnp.zeros((1, 224, 224, ch), dtype)
-        self.variables = self.module.init(key, dummy, train=False)
+        self.variables = _eager_init(self.module, seed, ch, dtype)
         self.stride = (32,)
         self.names = {i: f"class{i}" for i in range(nc)}
 
@@ -413,7 +443,7 @@ def _init_detect_biases(variables, head_spec, nc, strides, head_idx):
         b = np.asarray(head[key]["bias"], np.float32).reshape(na, no).copy()
         b[:, 4] += math.log(8.0 / (640.0 / s) ** 2)
         b[:, 5 : 5 + nc] += math.log(0.6 / (nc - 0.99999))
-        head[key]["bias"] = jnp.asarray(b.reshape(-1))
+        head[key]["bias"] = b.reshape(-1).astype(np.asarray(head[key]["bias"]).dtype)
     return v
 
 

@@ -41,11 +41,10 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with batch-dim sharding."""
-    spec = shard_batch_spec(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), batch)
+    """Device-put a host batch pytree with batch-dim sharding (single
+    pytree-level call: transfers are batched, critical over a TPU tunnel)."""
+    return jax.device_put(batch, shard_batch_spec(mesh))
 
 
 def replicate(tree, mesh: Mesh):
-    spec = replicated_spec(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, spec), tree)
+    return jax.device_put(tree, replicated_spec(mesh))

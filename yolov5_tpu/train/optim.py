@@ -140,9 +140,12 @@ class EMAState(NamedTuple):
 
 
 def ema_init(params, batch_stats):
-    # materialize copies: EMA must not alias the live param buffers
-    # (aliasing breaks buffer donation in the jitted train step)
-    copy = lambda x: jnp.array(x, copy=True)
+    # host-side copies: EMA must not alias the live param buffers (aliasing
+    # breaks buffer donation in the jitted step), and per-leaf device copies
+    # would round-trip a tunneled TPU once per tensor
+    import numpy as np
+
+    copy = lambda x: np.array(x, copy=True)
     return EMAState(jax.tree.map(copy, params),
                     jax.tree.map(copy, batch_stats),
                     jnp.zeros((), jnp.int32))

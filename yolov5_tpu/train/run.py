@@ -1,0 +1,201 @@
+"""Full detection training driver — the `train.py run(**kwargs)` equivalent
+(/root/reference/train.py:105-528), re-shaped around one jitted DP train step.
+
+Differences by design:
+- no GradScaler/AMP plumbing: bf16 compute + fp32 params natively
+- no DDP wrapper/rank gating: a mesh + shardings express data parallelism;
+  multi-host runs shard the input stream by jax.process_index()
+- checkpoints are data (msgpack pytrees), not pickled code
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.data.dataset import create_loader
+from yolov5_tpu.eval.evaluator import evaluate
+from yolov5_tpu.models import DetectionModel
+from yolov5_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from yolov5_tpu.train.loss import ComputeLoss
+from yolov5_tpu.train.optim import build_optimizer
+from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+from yolov5_tpu.utils.callbacks import Callbacks
+from yolov5_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    variables_from_checkpoint,
+)
+from yolov5_tpu.utils.general import check_dataset, check_img_size, increment_path, init_seeds
+from yolov5_tpu.utils.hyp import load_hyp
+from yolov5_tpu.utils.loggers import Loggers
+
+
+class EarlyStopper:
+    """Fitness-patience early stop (reference torch_utils.py:315-340)."""
+
+    def __init__(self, patience=100):
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+        self.patience = patience or float("inf")
+
+    def __call__(self, epoch, fi):
+        if fi >= self.best_fitness:
+            self.best_epoch = epoch
+            self.best_fitness = fi
+        return (epoch - self.best_epoch) >= self.patience
+
+
+def run(
+    data,
+    cfg="yolov5n",
+    hyp=None,
+    weights="",
+    epochs=100,
+    batch_size=16,
+    imgsz=640,
+    optimizer="sgd",
+    cos_lr=False,
+    seed=0,
+    workers=8,
+    max_labels=128,
+    single_cls=False,
+    patience=100,
+    save_dir=None,
+    project="runs/train",
+    name="exp",
+    exist_ok=False,
+    nosave=False,
+    noval=False,
+    save_period=-1,
+    device_count=None,
+    dtype="float32",
+    val_batch_size=None,
+    callbacks: Callbacks | None = None,
+    resume="",
+):
+    """Train a detector. Returns (best_fitness, results dict, save_dir)."""
+    callbacks = callbacks or Callbacks()
+    init_seeds(seed)
+    data_dict = check_dataset(data)
+    nc = 1 if single_cls else int(data_dict["nc"])
+    hyp = load_hyp(hyp)
+
+    save_dir = Path(save_dir) if save_dir else increment_path(
+        Path(project) / name, exist_ok=exist_ok)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    loggers = Loggers(save_dir)
+    last, best = save_dir / "last.ckpt", save_dir / "best.ckpt"
+
+    # model
+    model = DetectionModel(cfg, nc=nc, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    imgsz = check_img_size(imgsz, s=max(model.stride))
+    start_epoch = 0
+    best_fitness = 0.0
+    if resume:
+        payload, meta = load_checkpoint(resume)
+        model.variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", 0.0))
+    elif weights:
+        if str(weights).endswith(".pt"):  # torch reference checkpoint
+            from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
+
+            sd = load_torch_state_dict(weights)
+            model.variables, missed = import_torch_weights(model, sd)
+            if missed:
+                print(f"weight import: {len(missed)} unmatched entries")
+        else:
+            payload, _ = load_checkpoint(weights)
+            model.variables = variables_from_checkpoint(payload, prefer_ema=True)
+
+    # data
+    rank, world = jax.process_index(), jax.process_count()
+    train_ds, train_loader = create_loader(
+        data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
+        hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
+        shard=(rank, world), single_cls=single_cls,
+    )
+    val_loader = None
+    if data_dict.get("val") and not noval:
+        _, val_loader = create_loader(
+            data_dict["val"], img_size=imgsz, batch_size=val_batch_size or batch_size,
+            augment=False, shuffle=False, workers=workers, max_labels=max_labels,
+            single_cls=single_cls,
+        )
+
+    nb = len(train_loader)
+    nl = len(model.stride)
+    hyp_scaled = scale_hyp(hyp, nl=nl, nc=nc, imgsz=imgsz)
+    loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled)
+    tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
+                         steps_per_epoch=nb, batch_size=batch_size,
+                         name=optimizer, cos_lr=cos_lr)
+    state = init_train_state(model, tx)
+
+    mesh = make_mesh(device_count)
+    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
+    stopper = EarlyStopper(patience)
+    callbacks.run("on_train_start")
+    print(f"training {cfg} on {data_dict.get('train')}: {len(train_ds)} imgs, "
+          f"{nb} steps/epoch, {mesh.devices.size} device(s), imgsz {imgsz}")
+
+    results = {}
+    t_start = time.time()
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(start_epoch, epochs):
+            callbacks.run("on_train_epoch_start")
+            train_loader.set_epoch(epoch)
+            agg = {"box": 0.0, "obj": 0.0, "cls": 0.0, "total": 0.0}
+            t0 = time.time()
+            for i, batch in enumerate(train_loader):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = shard_batch(batch, mesh)
+                state, metrics = step_fn(state, batch)
+                for k in agg:
+                    agg[k] += float(metrics[k])
+                callbacks.run("on_train_batch_end")
+            n = max(i + 1, 1)
+            dt = time.time() - t0
+            row = {f"train/{k}": v / n for k, v in agg.items()}
+            row["train/imgs_per_sec"] = n * batch_size / dt
+            callbacks.run("on_train_epoch_end", epoch=epoch)
+
+            # validate the EMA weights (reference validates ema, train.py:446)
+            fi = 0.0
+            if val_loader is not None:
+                ema_vars = {"params": state.ema.params, "batch_stats": state.ema.batch_stats}
+                results = evaluate(model, ema_vars, val_loader)
+                row.update({f"val/{k}": results[k] for k in ("mp", "mr", "map50", "map")})
+                fi = results["fitness"]
+            row["fitness"] = fi
+            loggers.log_metrics(row, epoch)
+            print(f"epoch {epoch + 1}/{epochs}  " +
+                  "  ".join(f"{k.split('/')[-1]} {v:.4g}" for k, v in row.items()))
+
+            if fi >= best_fitness:
+                best_fitness = fi
+            if not nosave:
+                save_checkpoint(last, jax.device_get(state), model, epoch, best_fitness)
+                if fi >= best_fitness and val_loader is not None:
+                    save_checkpoint(best, jax.device_get(state), model, epoch, best_fitness)
+                if save_period > 0 and epoch % save_period == 0:
+                    save_checkpoint(save_dir / f"epoch{epoch}.ckpt",
+                                    jax.device_get(state), model, epoch, best_fitness)
+                callbacks.run("on_model_save", epoch=epoch)
+            callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi)
+            if stopper(epoch, fi):
+                print(f"early stopping at epoch {epoch + 1} "
+                      f"(no fitness gain in {patience} epochs)")
+                break
+
+    print(f"done in {(time.time() - t_start) / 3600:.2f}h, best fitness {best_fitness:.4f}")
+    callbacks.run("on_train_end")
+    loggers.close()
+    return best_fitness, results, save_dir

@@ -38,9 +38,13 @@ def scale_hyp(hyp: dict, nl: int, nc: int, imgsz: int) -> dict:
 
 
 def init_train_state(model, tx) -> TrainState:
-    # copy: the step donates its input state, which must never invalidate the
-    # model's own variables
-    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    # host-side copies: (a) the step donates its input state, which must not
+    # invalidate the model's own variables; (b) per-leaf device copies would
+    # round-trip a tunneled TPU once per tensor — numpy leaves upload in bulk
+    # at the first jitted call instead
+    import numpy as np
+
+    copy = lambda t: jax.tree.map(lambda x: np.array(x, copy=True), t)
     params = copy(model.variables["params"])
     batch_stats = copy(model.variables.get("batch_stats", {}))
     return TrainState(
