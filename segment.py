@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Segmentation CLI: train / val / predict subcommands
+(the reference's segment/{train,val,predict}.py)."""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--data", required=True)
+    t.add_argument("--cfg", default="yolov5n-seg")
+    t.add_argument("--hyp", default=None)
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=16)
+    t.add_argument("--imgsz", "--img", type=int, default=640)
+    t.add_argument("--optimizer", default="sgd")
+    t.add_argument("--cos-lr", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--workers", type=int, default=8)
+    t.add_argument("--single-cls", action="store_true")
+    t.add_argument("--mask-ratio", type=int, default=4)
+    t.add_argument("--no-overlap", action="store_true")
+    t.add_argument("--project", default="runs/train-seg")
+    t.add_argument("--name", default="exp")
+    t.add_argument("--exist-ok", action="store_true")
+    t.add_argument("--noval", action="store_true")
+    t.add_argument("--nosave", action="store_true")
+
+    v = sub.add_parser("val")
+    v.add_argument("--data", required=True)
+    v.add_argument("--weights", required=True)
+    v.add_argument("--imgsz", "--img", type=int, default=640)
+    v.add_argument("--batch-size", type=int, default=16)
+    v.add_argument("--mask-ratio", type=int, default=4)
+    v.add_argument("--no-overlap", action="store_true")
+
+    d = sub.add_parser("predict")
+    d.add_argument("--weights", required=True)
+    d.add_argument("--source", required=True)
+    d.add_argument("--imgsz", "--img", type=int, default=640)
+    d.add_argument("--conf-thres", type=float, default=0.25)
+    d.add_argument("--iou-thres", type=float, default=0.45)
+    d.add_argument("--project", default="runs/predict-seg")
+    d.add_argument("--name", default="exp")
+
+    opt = p.parse_args()
+    if opt.cmd == "train":
+        from yolov5_tpu.train.run_segment import run
+
+        run(data=opt.data, cfg=opt.cfg, hyp=opt.hyp, epochs=opt.epochs,
+            batch_size=opt.batch_size, imgsz=opt.imgsz, optimizer=opt.optimizer,
+            cos_lr=opt.cos_lr, seed=opt.seed, workers=opt.workers,
+            single_cls=opt.single_cls, mask_ratio=opt.mask_ratio,
+            no_overlap=opt.no_overlap, project=opt.project, name=opt.name,
+            exist_ok=opt.exist_ok, noval=opt.noval, nosave=opt.nosave)
+    elif opt.cmd == "val":
+        from yolov5_tpu.data.dataset import create_loader
+        from yolov5_tpu.train.run_segment import evaluate_segment
+        from yolov5_tpu.models import SegmentationModel
+        from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
+        from yolov5_tpu.utils.general import check_dataset
+
+        data = check_dataset(opt.data)
+        payload, meta = load_checkpoint(opt.weights)
+        model = SegmentationModel(meta.get("cfg", "yolov5n-seg"))
+        variables = variables_from_checkpoint(payload)
+        _, loader = create_loader(data["val"], img_size=opt.imgsz,
+                                  batch_size=opt.batch_size, augment=False,
+                                  masks=True, mask_ratio=opt.mask_ratio,
+                                  overlap=not opt.no_overlap)
+        evaluate_segment(model, variables, loader, overlap=not opt.no_overlap,
+                         verbose=True)
+    else:
+        from yolov5_tpu.infer_segment import run as predict
+
+        predict(weights=opt.weights, source=opt.source, imgsz=opt.imgsz,
+                conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                project=opt.project, name=opt.name)
+
+
+if __name__ == "__main__":
+    main()

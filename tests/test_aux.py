@@ -1,0 +1,147 @@
+"""Aux systems: autoanchor, hyp presets, checkpoint round-trip, loggers,
+callbacks, increment_path, plots smoke."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolov5_tpu.utils.autoanchor import anchor_fitness, check_anchors, kmean_anchors
+from yolov5_tpu.utils.callbacks import Callbacks
+from yolov5_tpu.utils.general import check_dataset, check_img_size, increment_path
+from yolov5_tpu.utils.hyp import PRESETS, load_hyp
+from yolov5_tpu.utils.loggers import CSVLogger
+
+
+def test_kmean_anchors_recover_clusters(rng):
+    """Three planted wh clusters -> evolved anchors land near them."""
+    centers = np.array([[10, 12], [40, 35], [120, 100]], float)
+    wh = np.concatenate([c * rng.uniform(0.9, 1.1, (200, 2)) for c in centers])
+    k = kmean_anchors(wh, n=3, gen=100, verbose=False)
+    assert k.shape == (3, 2)
+    for c in centers:
+        d = np.abs(k - c).sum(1).min()
+        assert d < c.sum() * 0.35, (k, c)
+    # fitness of recovered anchors is high
+    assert anchor_fitness(k, wh, 1 / 4.0) > 0.8
+
+
+def test_check_anchors_keeps_good(rng):
+    class FakeModel:
+        anchors = (((10, 13), (16, 30), (33, 23)),
+                   ((30, 61), (62, 45), (59, 119)),
+                   ((116, 90), (156, 198), (373, 326)))
+
+    class FakeDs:
+        # labels normalized xywh matching the coco anchor range
+        labels = [np.array([[0, 0.5, 0.5, w, h]], np.float32)
+                  for w, h in rng.uniform(0.05, 0.5, (50, 2))]
+
+    out = check_anchors(FakeDs(), FakeModel(), imgsz=640, verbose=False)
+    assert out == FakeModel.anchors  # BPR fine -> unchanged
+
+
+def test_hyp_presets():
+    h = load_hyp(None)
+    assert h["lr0"] == 0.01 and h["anchor_t"] == 4.0
+    assert load_hyp("scratch-med")["mixup"] == 0.1
+    assert load_hyp({"lr0": 0.5})["lr0"] == 0.5
+    assert set(PRESETS) >= {"scratch-low", "scratch-med", "scratch-high"}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from yolov5_tpu.train.trainer import TrainState
+    from yolov5_tpu.train.optim import EMAState
+    from yolov5_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint, variables_from_checkpoint)
+
+    params = {"layer": {"kernel": np.ones((3, 3), np.float32)}}
+    stats = {"layer": {"mean": np.zeros(3, np.float32)}}
+    ema = EMAState(params={"layer": {"kernel": np.full((3, 3), 2.0, np.float32)}},
+                   batch_stats=stats, updates=jnp.asarray(7))
+    state = TrainState(jnp.asarray(5), params, stats, None, ema)
+
+    class FakeModel:
+        cfg = {"nc": 1}
+        nc = 1
+        names = {0: "thing"}
+        stride = (8, 16, 32)
+
+    p = tmp_path / "x.ckpt"
+    save_checkpoint(p, state, FakeModel(), epoch=3, best_fitness=0.5)
+    payload, meta = load_checkpoint(p)
+    assert meta["epoch"] == 3 and meta["best_fitness"] == 0.5
+    v = variables_from_checkpoint(payload, prefer_ema=True)
+    np.testing.assert_allclose(v["params"]["layer"]["kernel"], 2.0)
+    v2 = variables_from_checkpoint(payload, prefer_ema=False)
+    np.testing.assert_allclose(v2["params"]["layer"]["kernel"], 1.0)
+
+
+def test_callbacks_bus():
+    cb = Callbacks()
+    seen = []
+    cb.register_action("on_train_start", "t", lambda **k: seen.append(k))
+    cb.run("on_train_start", epoch=1)
+    assert seen == [{"epoch": 1}]
+    with pytest.raises(AssertionError):
+        cb.run("not_a_hook")
+
+
+def test_csv_logger(tmp_path):
+    log = CSVLogger(tmp_path / "r.csv")
+    log.log({"a": 1, "b": 2.5})
+    log.log({"a": 2, "b": 3.5})
+    text = (tmp_path / "r.csv").read_text().strip().splitlines()
+    assert text[0] == "a,b" and len(text) == 3
+
+
+def test_increment_path(tmp_path):
+    p1 = increment_path(tmp_path / "exp", mkdir=True)
+    p2 = increment_path(tmp_path / "exp", mkdir=True)
+    assert p1.name == "exp" and p2.name == "exp2"
+
+
+def test_check_img_size():
+    assert check_img_size(640, 32) == 640
+    assert check_img_size(630, 32) == 640
+
+
+def test_check_dataset_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        check_dataset({"train": str(tmp_path / "nope"), "nc": 1})
+    d = tmp_path / "imgs"
+    d.mkdir()
+    out = check_dataset({"train": str(d), "names": ["a", "b"]})
+    assert out["nc"] == 2 and out["names"] == {0: "a", 1: "b"}
+
+
+def test_plots_smoke(tmp_path, rng):
+    from yolov5_tpu.utils.plots import (
+        plot_confusion_matrix, plot_images, plot_labels, plot_pr_curve,
+        plot_results)
+
+    csv = tmp_path / "results.csv"
+    csv.write_text("step,train/loss,val/map\n0,1.0,0.1\n1,0.5,0.3\n")
+    plot_results(csv)
+    assert (tmp_path / "results.png").exists()
+
+    labels = [np.array([[0, 0.5, 0.5, 0.2, 0.2], [1, 0.3, 0.3, 0.1, 0.4]])]
+    plot_labels(labels, {0: "a", 1: "b"}, tmp_path)
+    assert (tmp_path / "labels.png").exists()
+
+    px = np.linspace(0, 1, 100)
+    plot_pr_curve(px, np.stack([1 - px, 1 - px * 0.5]), [0.5, 0.75],
+                  ["a", "b"], tmp_path / "pr.png")
+    assert (tmp_path / "pr.png").exists()
+
+    plot_confusion_matrix(np.array([[5.0, 1, 0], [1, 3, 0], [0, 1, 0]]),
+                          ["a", "b"], tmp_path / "cm.png")
+    assert (tmp_path / "cm.png").exists()
+
+    ims = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    t = np.zeros((4, 2, 5), np.float32)
+    t[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    v = np.zeros((4, 2), bool)
+    v[:, 0] = True
+    plot_images(ims, t, v, tmp_path / "batch.png")
+    assert (tmp_path / "batch.png").exists()

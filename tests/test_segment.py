@@ -1,0 +1,120 @@
+"""Segmentation path: mask ops, seg loss, one train step, seg eval."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.models import SegmentationModel
+from yolov5_tpu.ops.masks import masks2segments, process_mask
+from yolov5_tpu.train.loss import ComputeSegmentLoss
+from yolov5_tpu.train.optim import build_optimizer
+from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+
+cv2 = pytest.importorskip("cv2")
+
+SEG_CFG = {
+    "nc": 3,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.125,
+    "anchors": [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 1, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 1, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 1, "C3", [512]],
+        [-1, 1, "SPPF", [512, 5]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "C3", [256, False]],
+        [[11, 8], 1, "Segment", ["nc", "anchors", 8, 64]],
+    ],
+}
+
+HYP = {"box": 0.05, "obj": 1.0, "cls": 0.5, "anchor_t": 4.0, "fl_gamma": 0.0,
+       "lr0": 0.01, "lrf": 0.01, "momentum": 0.9, "weight_decay": 0.0,
+       "warmup_epochs": 0.0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1}
+
+
+@pytest.fixture(scope="module")
+def seg_model():
+    return SegmentationModel(SEG_CFG)
+
+
+def test_segment_model_outputs(seg_model):
+    m = seg_model
+    x = jnp.zeros((2, 64, 64, 3))
+    maps, proto = m.apply(m.variables, x, train=False)
+    nm = 8
+    assert maps[0].shape == (2, 8, 8, 3, 5 + 3 + nm)
+    assert proto.shape == (2, 16, 16, nm)
+
+
+def test_process_mask_crops():
+    protos = jnp.ones((8, 8, 4))
+    coeffs = jnp.asarray([[5.0, 0, 0, 0]])  # strongly positive -> sigmoid ~1
+    boxes = jnp.asarray([[8.0, 8.0, 24.0, 24.0]])  # in 32x32 img space
+    out = np.asarray(process_mask(protos, coeffs, boxes, (32, 32)))
+    assert out.shape == (1, 8, 8)
+    assert out[0, 3, 3] > 0.9  # inside box (mask px 2..6)
+    assert out[0, 0, 0] == 0.0  # cropped outside
+
+
+def test_masks2segments():
+    m = np.zeros((1, 16, 16), np.uint8)
+    m[0, 4:12, 4:12] = 1
+    segs = masks2segments(m)
+    assert len(segs) == 1 and len(segs[0]) >= 4
+    assert segs[0].min() >= 3 and segs[0].max() <= 12
+
+
+def test_segment_loss_and_step(seg_model, rng):
+    m = seg_model
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=3, imgsz=64)
+    nm = 8
+    loss_fn = ComputeSegmentLoss(m.anchors_per_stride, 3, hyp, nm=nm,
+                                 overlap=True, seg_k=64)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=2, batch_size=64)
+    state = init_train_state(m, tx)
+    step = make_train_step(m, loss_fn, tx, has_masks=True)
+
+    bs, M = 2, 8
+    targets = np.zeros((bs, M, 5), np.float32)
+    valid = np.zeros((bs, M), bool)
+    masks = np.zeros((bs, 16, 16), np.int32)
+    for b in range(bs):
+        targets[b, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+        valid[b, 0] = True
+        masks[b, 4:12, 4:12] = 1  # instance 1 = label row 0
+    batch = {"images": jnp.asarray(rng.uniform(0, 1, (bs, 64, 64, 3)), jnp.float32),
+             "targets": jnp.asarray(targets), "valid": jnp.asarray(valid),
+             "masks": jnp.asarray(masks)}
+    l0 = None
+    for i in range(8):
+        state, metrics = step(state, batch)
+        if l0 is None:
+            l0 = float(metrics["total"])
+    assert np.isfinite(float(metrics["total"]))
+    assert "seg" in metrics and float(metrics["seg"]) >= 0
+    assert float(metrics["total"]) < l0  # learning
+
+
+def test_segment_loss_no_masks_matches_detect(seg_model, rng):
+    """Without gt_masks the segment loss degrades to the detection loss."""
+    m = seg_model
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=3, imgsz=64)
+    loss_fn = ComputeSegmentLoss(m.anchors_per_stride, 3, hyp, nm=8)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    out = m.apply(m.variables, x, train=False)
+    targets = jnp.asarray([[[0, 0.5, 0.5, 0.4, 0.4]]], jnp.float32)
+    valid = jnp.ones((1, 1), bool)
+    total, comps = loss_fn(out, targets, valid, None)
+    assert "seg" not in comps
+    assert np.isfinite(float(total))

@@ -18,3 +18,21 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: first compiles of the train step /
+# inference graph take minutes (remote TPU compiler); cached reloads are
+# near-instant across processes. Opt out with YOLOV5_TPU_NO_COMP_CACHE=1.
+if not _os.environ.get("YOLOV5_TPU_NO_COMP_CACHE"):
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "YOLOV5_TPU_COMP_CACHE",
+                _os.path.expanduser("~/.cache/yolov5_tpu/xla_cache"),
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -1,0 +1,204 @@
+"""Model export pipeline.
+
+The reference ships a 12-format exporter built around torch tracing
+(/root/reference/export.py). The JAX-native equivalents:
+
+| format       | artifact                      | via                     |
+|--------------|-------------------------------|-------------------------|
+| ckpt         | .ckpt msgpack (fused, EMA)    | native                  |
+| stablehlo    | .stablehlo serialized module  | jax.export              |
+| saved_model  | TF SavedModel dir             | jax2tf                  |
+| tflite       | .tflite flatbuffer (+int8)    | TFLiteConverter         |
+
+ONNX / TensorRT / CoreML / OpenVINO / paddle need toolchains absent from this
+zero-egress image; `export_formats()` reports them unavailable with the
+reason instead of failing cryptically (the reference's try_export contract,
+export.py:182-221). StableHLO is the portable interchange format here — it
+is what those toolchains increasingly consume.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def export_formats():
+    """Format table: (name, suffix, available, note)."""
+    try:
+        import tensorflow  # noqa: F401
+
+        tf_ok, tf_note = True, ""
+    except ImportError:
+        tf_ok, tf_note = False, "tensorflow not installed"
+    return [
+        ("ckpt", ".ckpt", True, "native inference checkpoint (fused)"),
+        ("stablehlo", ".stablehlo", True, "jax.export serialized StableHLO"),
+        ("saved_model", "_saved_model", tf_ok, tf_note or "jax2tf"),
+        ("tflite", ".tflite", tf_ok, tf_note or "fp16/int8"),
+        ("onnx", ".onnx", False, "onnx package unavailable; use stablehlo"),
+        ("engine", ".engine", False, "TensorRT is CUDA-only; n/a on TPU"),
+        ("coreml", ".mlmodel", False, "coremltools unavailable"),
+        ("openvino", "_openvino_model", False, "openvino unavailable"),
+        ("paddle", "_paddle_model", False, "paddle unavailable"),
+    ]
+
+
+def try_export(fn):
+    """Isolate per-format failures, report size+time (reference export.py:182)."""
+
+    def wrapper(*args, **kwargs):
+        name = fn.__name__.replace("export_", "")
+        t0 = time.time()
+        try:
+            out = fn(*args, **kwargs)
+            p = Path(out)
+            size = (sum(f.stat().st_size for f in p.rglob("*")) if p.is_dir()
+                    else p.stat().st_size) / 1e6
+            print(f"export {name}: ok, {out} ({size:.1f} MB, {time.time() - t0:.1f}s)")
+            return out
+        except Exception as e:
+            print(f"export {name}: FAILED after {time.time() - t0:.1f}s: {e}")
+            return None
+
+    return wrapper
+
+
+def _build_forward(weights, cfg, imgsz, batch_size, with_nms=False,
+                   conf_thres=0.25, iou_thres=0.45, max_det=100):
+    """(fn, variables, example input, model) for export: uint8 NHWC in,
+    decoded (bs, N, no) out (or NMS'd padded boxes)."""
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.ops.nms import non_max_suppression
+
+    det = Detector(weights, cfg=cfg, imgsz=imgsz, fuse=True)
+    model, variables = det.model, det.variables
+
+    def forward(images):
+        x = images.astype(jnp.float32) / 255.0
+        maps = model.module.apply(variables, x, train=False)
+        pred = model.decode(maps)
+        if not with_nms:
+            return pred
+        d = non_max_suppression(pred, conf_thres=conf_thres,
+                                iou_thres=iou_thres, max_det=max_det,
+                                max_nms=1024)
+        return d.boxes, d.scores, d.classes.astype(jnp.int32), d.valid
+
+    example = jnp.zeros((batch_size, imgsz, imgsz, 3), jnp.uint8)
+    return forward, variables, example, model
+
+
+@try_export
+def export_ckpt(forwardless, file):
+    """Fused inference checkpoint (the strip_optimizer equivalent)."""
+    from flax import serialization
+
+    det_model, variables, meta = forwardless
+    payload = {
+        "params": jax.tree.map(np.asarray, variables["params"]),
+        "batch_stats": jax.tree.map(np.asarray, variables.get("batch_stats", {})),
+        "ema_params": None, "ema_stats": None, "fused": True,
+    }
+    file = Path(file)
+    file.write_bytes(serialization.msgpack_serialize(payload))
+    Path(str(file) + ".json").write_text(json.dumps(meta, indent=1, default=str))
+    return file
+
+
+@try_export
+def export_stablehlo(forward, example, file):
+    exp = jax.export.export(jax.jit(forward))(example)
+    data = exp.serialize()
+    file = Path(file)
+    file.write_bytes(data)
+    # also drop readable MLIR alongside
+    Path(str(file) + ".mlir").write_text(exp.mlir_module())
+    return file
+
+
+@try_export
+def export_saved_model(forward, example, file):
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(forward, with_gradient=False),
+        autograph=False,
+        input_signature=[tf.TensorSpec(example.shape, tf.uint8, name="images")],
+    )
+    module = tf.Module()
+    module.f = tf_fn
+    tf.saved_model.save(module, str(file))
+    return file
+
+
+@try_export
+def export_tflite(saved_model_dir, file, int8=False, rep_data=None):
+    import tensorflow as tf
+
+    conv = tf.lite.TFLiteConverter.from_saved_model(str(saved_model_dir))
+    conv.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS,
+    ]
+    if int8:
+        conv.optimizations = [tf.lite.Optimize.DEFAULT]
+        if rep_data is not None:
+            def rep():
+                for x in rep_data:
+                    yield [x]
+            conv.representative_dataset = rep
+    data = conv.convert()
+    Path(file).write_bytes(data)
+    return Path(file)
+
+
+def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
+        include=("ckpt", "stablehlo"), with_nms=False, int8=False,
+        output_dir=None, name=None):
+    """Export orchestrator (reference export.py run(), :1285-1488)."""
+    avail = {n: ok for n, _, ok, _ in export_formats()}
+    for fmt in include:
+        if fmt not in avail:
+            raise ValueError(f"unknown format {fmt}")
+        if not avail[fmt]:
+            note = next(x[3] for x in export_formats() if x[0] == fmt)
+            print(f"skipping {fmt}: {note}")
+    include = [f for f in include if avail[f]]
+
+    forward, variables, example, model = _build_forward(
+        weights, cfg, imgsz, batch_size, with_nms=with_nms)
+    stem = name or (Path(weights).stem if weights else str(cfg))
+    out_dir = Path(output_dir or (Path(weights).parent if weights else "runs/export"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    meta = {"cfg": model.cfg if isinstance(model.cfg, dict) else str(model.cfg),
+            "nc": model.nc, "names": model.names, "stride": list(model.stride),
+            "imgsz": imgsz, "with_nms": with_nms, "format": "yolov5_tpu-export"}
+    artifacts = {}
+    if "ckpt" in include:
+        artifacts["ckpt"] = export_ckpt((model, variables, meta),
+                                        out_dir / f"{stem}.fused.ckpt")
+    if "stablehlo" in include:
+        artifacts["stablehlo"] = export_stablehlo(forward, example,
+                                                  out_dir / f"{stem}.stablehlo")
+    sm_dir = None
+    if "saved_model" in include or "tflite" in include:
+        sm_dir = export_saved_model(forward, example, out_dir / f"{stem}_saved_model")
+        artifacts["saved_model"] = sm_dir
+    if "tflite" in include and sm_dir:
+        rep = None
+        if int8:
+            rng = np.random.default_rng(0)
+            rep = [rng.integers(0, 255, example.shape, dtype=np.uint8).astype(np.uint8)
+                   for _ in range(8)]
+        artifacts["tflite"] = export_tflite(
+            sm_dir, out_dir / f"{stem}{'-int8' if int8 else ''}.tflite",
+            int8=int8, rep_data=rep)
+    return artifacts

@@ -20,8 +20,21 @@ import jax.numpy as jnp
 from yolov5_tpu.data.sources import LoadImages, batched
 from yolov5_tpu.models import DetectionModel
 from yolov5_tpu.models.weights import fuse_conv_bn
-from yolov5_tpu.ops.boxes import scale_boxes
 from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+
+
+def scale_boxes_np(img1_shape, boxes, img0_shape):
+    """Numpy un-letterbox (host hot path: eager jnp ops here would each
+    round-trip a tunneled TPU). Mirrors ops.boxes.scale_boxes."""
+    gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+    pad_x = (img1_shape[1] - img0_shape[1] * gain) / 2
+    pad_y = (img1_shape[0] - img0_shape[0] * gain) / 2
+    out = boxes.copy()
+    out[:, [0, 2]] = (boxes[:, [0, 2]] - pad_x) / gain
+    out[:, [1, 3]] = (boxes[:, [1, 3]] - pad_y) / gain
+    out[:, [0, 2]] = out[:, [0, 2]].clip(0, img0_shape[1])
+    out[:, [1, 3]] = out[:, [1, 3]].clip(0, img0_shape[0])
+    return out
 from yolov5_tpu.utils.general import increment_path
 
 # a readable default palette (BGR) for annotation
@@ -152,9 +165,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         for (path, im_lb, im0, meta), r in zip(group, rows):
             if len(r):
                 r = np.asarray(r)
-                r[:, :4] = np.asarray(
-                    scale_boxes(im_lb.shape[:2], r[:, :4], im0.shape[:2])
-                )
+                r[:, :4] = scale_boxes_np(im_lb.shape[:2], r[:, :4], im0.shape[:2])
             results.append((path, r))
             if verbose:
                 counts = {}

@@ -135,8 +135,7 @@ def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "conf_thres",
-        "iou_thres",
+        # thresholds stay traced: a new conf/iou value must not recompile
         "multi_label",
         "agnostic",
         "max_det",

@@ -35,15 +35,23 @@ def lr_lambda(epochs, lrf, cos_lr=False):
     return lambda e: jnp.maximum(1 - e / epochs, 0.0) * (1.0 - lrf) + lrf
 
 
-def make_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False):
-    """Per-step lr (weights/bias) and momentum schedules, warmup included."""
+def make_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=False,
+                   accumulate=1):
+    """Per-update lr (weights/bias) and momentum schedules, warmup included.
+
+    With gradient accumulation the inner optimizer's counter ticks once per
+    *real* update (optax.MultiSteps), so all schedule units are converted
+    from the reference's per-batch counts (nw = max(3 epochs, 100 batches),
+    train.py:338) to per-update counts.
+    """
     lr0 = hyp.get("lr0", 0.01)
     lrf = hyp.get("lrf", 0.01)
     warmup_epochs = hyp.get("warmup_epochs", 3.0)
     warmup_bias_lr = hyp.get("warmup_bias_lr", 0.1)
     warmup_momentum = hyp.get("warmup_momentum", 0.8)
     momentum = hyp.get("momentum", 0.937)
-    nw = max(round(warmup_epochs * steps_per_epoch), 100)
+    steps_per_epoch = max(round(steps_per_epoch / accumulate), 1)  # real updates
+    nw = max(round(warmup_epochs * steps_per_epoch), round(100 / accumulate))
     lam = lr_lambda(epochs, lrf, cos_lr)
 
     def base_lr(step):
@@ -85,8 +93,9 @@ def group_labels(params):
 def build_optimizer(params, hyp, epochs, steps_per_epoch, batch_size,
                     name="sgd", nbs=64, cos_lr=False, clip_norm=10.0):
     """3-group optimizer with warmup schedules; returns an optax tx."""
-    lr_w, lr_b, mom, nw = make_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs, cos_lr)
     accumulate = max(round(nbs / batch_size), 1)
+    lr_w, lr_b, mom, nw = make_schedules(hyp, epochs, steps_per_epoch, batch_size,
+                                         nbs, cos_lr, accumulate=accumulate)
     decay = hyp.get("weight_decay", 5e-4) * batch_size * accumulate / nbs
 
     def sgd_group(lr_sched, wd):

@@ -94,6 +94,8 @@ def run(
 
     # model
     model = DetectionModel(cfg, nc=nc, dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    if data_dict.get("names"):
+        model.names = {int(k): v for k, v in data_dict["names"].items()}
     imgsz = check_img_size(imgsz, s=max(model.stride))
     start_epoch = 0
     best_fitness = 0.0
@@ -152,18 +154,20 @@ def run(
         for epoch in range(start_epoch, epochs):
             callbacks.run("on_train_epoch_start")
             train_loader.set_epoch(epoch)
-            agg = {"box": 0.0, "obj": 0.0, "cls": 0.0, "total": 0.0}
+            agg = None
             t0 = time.time()
             for i, batch in enumerate(train_loader):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 batch = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, batch)
-                for k in agg:
-                    agg[k] += float(metrics[k])
+                # accumulate on device: a float() here would force a full
+                # host sync every step (disastrous over a TPU tunnel)
+                agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
                 callbacks.run("on_train_batch_end")
             n = max(i + 1, 1)
+            agg = jax.device_get(agg)
             dt = time.time() - t0
-            row = {f"train/{k}": v / n for k, v in agg.items()}
+            row = {f"train/{k}": float(v) / n for k, v in agg.items()
+                   if k in ("box", "obj", "cls", "total")}
             row["train/imgs_per_sec"] = n * batch_size / dt
             callbacks.run("on_train_epoch_end", epoch=epoch)
 

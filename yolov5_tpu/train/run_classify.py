@@ -1,0 +1,198 @@
+"""Classification workload: ImageFolder data, CE train loop, top-1/top-5 val.
+
+Equivalent of /root/reference/classify/train.py and classify/val.py. Reuses
+the detection backbone sliced at cutoff=10 + Classify head
+(ClassificationModel), the 3-group optimizer and EMA.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolov5_tpu.models import ClassificationModel
+from yolov5_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from yolov5_tpu.train.optim import build_optimizer, ema_init, ema_update
+from yolov5_tpu.utils.general import increment_path, init_seeds
+from yolov5_tpu.utils.loggers import Loggers
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class ImageFolder:
+    """root/{class}/*.jpg dataset with simple train/val transforms
+    (reference uses torchvision ImageFolder + classify_transforms,
+    utils/augmentations.py:248-341)."""
+
+    def __init__(self, root, img_size=224, augment=False):
+        self.root = Path(root)
+        self.img_size = img_size
+        self.augment = augment
+        self.classes = sorted(d.name for d in self.root.iterdir() if d.is_dir())
+        self.samples = [
+            (str(f), ci)
+            for ci, c in enumerate(self.classes)
+            for f in sorted((self.root / c).iterdir())
+            if f.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+        ]
+        if not self.samples:
+            raise FileNotFoundError(f"no images under {root}")
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, i, rng=None):
+        import cv2
+
+        path, label = self.samples[i]
+        im = cv2.imread(path)
+        s = self.img_size
+        if self.augment and rng is not None:
+            # RandomResizedCrop-ish: random scale crop + horizontal flip
+            h, w = im.shape[:2]
+            scale = rng.uniform(0.6, 1.0)
+            ch, cw = int(h * scale), int(w * scale)
+            y0 = int(rng.integers(0, h - ch + 1))
+            x0 = int(rng.integers(0, w - cw + 1))
+            im = im[y0 : y0 + ch, x0 : x0 + cw]
+            if rng.random() < 0.5:
+                im = im[:, ::-1]
+            im = cv2.resize(im, (s, s), interpolation=cv2.INTER_LINEAR)
+        else:
+            # CenterCrop(min side) -> resize
+            h, w = im.shape[:2]
+            m = min(h, w)
+            top, left = (h - m) // 2, (w - m) // 2
+            im = cv2.resize(im[top : top + m, left : left + m], (s, s),
+                            interpolation=cv2.INTER_LINEAR)
+        return np.ascontiguousarray(im[..., ::-1]), label  # RGB
+
+    def batches(self, batch_size, shuffle=False, seed=0, epoch=0):
+        idx = np.arange(len(self))
+        if shuffle:
+            idx = np.random.default_rng(seed + epoch).permutation(idx)
+        rng = np.random.default_rng(seed * 7919 + epoch)
+        for b0 in range(0, len(idx) - batch_size + 1, batch_size):
+            sel = idx[b0 : b0 + batch_size]
+            ims, labels = zip(*(self.load(int(i), rng) for i in sel))
+            yield {"images": np.stack(ims), "labels": np.array(labels, np.int32)}
+
+
+def normalize(images_uint8, dtype=jnp.float32):
+    x = images_uint8.astype(dtype) / 255.0
+    return (x - IMAGENET_MEAN.astype(dtype)) / IMAGENET_STD.astype(dtype)
+
+
+def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
+        optimizer="adam", label_smoothing=0.1, seed=0, project="runs/train-cls",
+        name="exp", exist_ok=False, dtype="float32", verbose=True,
+        save_dir=None, nosave=False):
+    """Train a classifier; returns (best_top1, save_dir)."""
+    init_seeds(seed)
+    data = Path(data)
+    train_dir = data / "train" if (data / "train").exists() else data
+    val_dir = data / "val" if (data / "val").exists() else None
+    train_ds = ImageFolder(train_dir, imgsz, augment=True)
+    val_ds = ImageFolder(val_dir, imgsz) if val_dir else None
+    nc = len(train_ds.classes)
+
+    save_dir = Path(save_dir) if save_dir else increment_path(
+        Path(project) / name, exist_ok=exist_ok)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    loggers = Loggers(save_dir)
+
+    jdt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = ClassificationModel(cfg, nc=nc, dtype=jdt)
+    nb = max(len(train_ds) // batch_size, 1)
+    hyp = {"lr0": lr0, "lrf": 0.01, "momentum": 0.9, "weight_decay": 5e-5,
+           "warmup_epochs": 0.0, "warmup_bias_lr": 0.0, "warmup_momentum": 0.9}
+    tx = build_optimizer(model.params, hyp, epochs=epochs, steps_per_epoch=nb,
+                         batch_size=64, name=optimizer, cos_lr=True)
+
+    params = jax.tree.map(lambda x: np.array(x, copy=True), model.params)
+    batch_stats = jax.tree.map(lambda x: np.array(x, copy=True),
+                               model.variables.get("batch_stats", {}))
+    opt_state = tx.init(params)
+    ema = ema_init(params, batch_stats)
+    mesh = make_mesh()
+
+    def step_fn(params, batch_stats, opt_state, ema, batch):
+        def loss_of(p):
+            logits, mutated = model.module.apply(
+                {"params": p, "batch_stats": batch_stats},
+                normalize(batch["images"], jdt), train=True,
+                mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), batch["labels"],
+            ).mean()
+            if label_smoothing:
+                sm = optax.smooth_labels(
+                    jax.nn.one_hot(batch["labels"], nc), label_smoothing)
+                loss = optax.softmax_cross_entropy(
+                    logits.astype(jnp.float32), sm).mean()
+            acc = (logits.argmax(-1) == batch["labels"]).mean()
+            return loss, (mutated["batch_stats"], acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        ema2 = ema_update(ema, params2, new_stats)
+        return params2, new_stats, opt_state2, ema2, {"loss": loss, "acc": acc}
+
+    step = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
+
+    def eval_fn(variables, batch):
+        logits = model.module.apply(variables, normalize(batch["images"], jdt),
+                                    train=False)
+        return logits.astype(jnp.float32)
+
+    eval_jit = jax.jit(eval_fn)
+
+    best_top1 = 0.0
+    with mesh:
+        for epoch in range(epochs):
+            t0 = time.time()
+            agg, n = None, 0
+            for batch in train_ds.batches(batch_size, shuffle=True, seed=seed, epoch=epoch):
+                params, batch_stats, opt_state, ema, m = step(
+                    params, batch_stats, opt_state, ema, batch)
+                agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
+                n += 1
+            agg = jax.device_get(agg) if agg else {"loss": 0.0, "acc": 0.0}
+            row = {"train/loss": float(agg["loss"]) / max(n, 1),
+                   "train/acc": float(agg["acc"]) / max(n, 1),
+                   "train/imgs_per_sec": n * batch_size / (time.time() - t0)}
+            if val_ds:
+                top1 = top5 = total = 0
+                ema_vars = {"params": ema.params, "batch_stats": ema.batch_stats}
+                for batch in val_ds.batches(batch_size):
+                    logits = np.asarray(eval_jit(ema_vars, {"images": jnp.asarray(batch["images"])}))
+                    rank = np.argsort(-logits, axis=-1)
+                    top1 += (rank[:, 0] == batch["labels"]).sum()
+                    top5 += (rank[:, :5] == batch["labels"][:, None]).any(1).sum()
+                    total += len(batch["labels"])
+                row["val/top1"] = top1 / max(total, 1)
+                row["val/top5"] = top5 / max(total, 1)
+                best_top1 = max(best_top1, row["val/top1"])
+            loggers.log_metrics(row, epoch)
+            if verbose:
+                print(f"epoch {epoch + 1}/{epochs}  " +
+                      "  ".join(f"{k.split('/')[-1]} {v:.4g}" for k, v in row.items()))
+    if not nosave:
+        from yolov5_tpu.train.trainer import TrainState
+        from yolov5_tpu.utils.checkpoint import save_checkpoint
+
+        state = TrainState(jnp.zeros((), jnp.int32), params, batch_stats, None, ema)
+        model.cfg, model.names = cfg, {i: c for i, c in enumerate(train_ds.classes)}
+        save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), model,
+                        epochs - 1, best_top1)
+    loggers.close()
+    return best_top1, save_dir

@@ -1,0 +1,204 @@
+"""Segmentation workload: masks dataloader + 4-component loss + mask mAP val.
+
+Equivalent of /root/reference/segment/train.py and segment/val.py
+(forks of the detect scripts with mask plumbing, SURVEY.md §0.3).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yolov5_tpu.data.dataset import create_loader
+from yolov5_tpu.eval.metrics import ap_per_class, process_batch
+from yolov5_tpu.models import SegmentationModel
+from yolov5_tpu.ops.masks import process_mask
+from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+from yolov5_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from yolov5_tpu.train.loss import ComputeSegmentLoss
+from yolov5_tpu.train.optim import build_optimizer
+from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+from yolov5_tpu.utils.checkpoint import save_checkpoint
+from yolov5_tpu.utils.general import check_dataset, check_img_size, increment_path, init_seeds
+from yolov5_tpu.utils.hyp import load_hyp
+from yolov5_tpu.utils.loggers import Loggers
+
+
+def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
+                     max_det=300, overlap=True, verbose=False):
+    """Box + mask mAP (reference segment/val.py:160-320)."""
+    iouv = np.linspace(0.5, 0.95, 10)
+    s = loader.ds.img_size
+
+    forward = getattr(model, "_seg_eval_forward", None)
+    if forward is None:
+        @jax.jit
+        def forward(v, images):
+            x = images.astype(model.dtype) / 255.0
+            maps, proto = model.apply(v, x, train=False)
+            return model.decode(maps), proto
+
+        model._seg_eval_forward = forward
+
+    stats_box, stats_mask = [], []
+    n_images = 0
+    for batch in loader:
+        images = jnp.asarray(batch["images"])
+        preds, proto = forward(variables, images)
+        dets = non_max_suppression(preds, conf_thres=conf_thres,
+                                   iou_thres=iou_thres, multi_label=True,
+                                   max_det=max_det, nc=model.nc)
+        rows = detections_to_numpy(dets)
+        bs = images.shape[0]
+        n_images += bs
+        hm, wm = proto.shape[1], proto.shape[2]
+        for b in range(bs):
+            pred = rows[b]
+            lab = batch["targets"][b][batch["valid"][b]]
+            if len(lab):
+                xyxy = np.empty((len(lab), 4), np.float32)
+                xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * s
+                xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * s
+                xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * s
+                xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * s
+                labels = np.concatenate([lab[:, 0:1], xyxy], axis=1)
+            else:
+                labels = np.zeros((0, 5), np.float32)
+            correct_box = process_batch(pred[:, :6], labels, iouv)
+            stats_box.append((correct_box, pred[:, 4], pred[:, 5], labels[:, 0]))
+
+            # mask branch
+            if pred.shape[0] and pred.shape[1] > 6:
+                coeffs = jnp.asarray(pred[:, 6:], jnp.float32)
+                boxes = jnp.asarray(pred[:, :4], jnp.float32)
+                pm = np.asarray(process_mask(proto[b], coeffs, boxes, (s, s))) > 0.5
+                pm_flat = pm.reshape(pm.shape[0], -1)
+            else:
+                pm_flat = np.zeros((0, hm * wm), bool)
+            gm = batch["masks"][b]
+            if overlap:
+                nl = len(labels)
+                gt = np.stack([(gm == i + 1) for i in range(nl)], 0) if nl else np.zeros((0, hm, wm), bool)
+            else:
+                gt = gm[: len(labels)].astype(bool)
+            correct_mask = process_batch(
+                pred[:, :6], labels, iouv,
+                pred_masks=pm_flat, gt_masks=gt.reshape(gt.shape[0], -1),
+            )
+            stats_mask.append((correct_mask, pred[:, 4], pred[:, 5], labels[:, 0]))
+
+    def summarize(stats):
+        tp = np.concatenate([x[0] for x in stats])
+        conf = np.concatenate([x[1] for x in stats])
+        cls = np.concatenate([x[2] for x in stats])
+        tcls = np.concatenate([x[3] for x in stats])
+        if tp.shape[0] and tcls.shape[0]:
+            r = ap_per_class(tp, conf, cls, tcls)
+            return {"p": r["p"].mean(), "r": r["r"].mean(),
+                    "map50": r["ap"][:, 0].mean(), "map": r["ap"].mean()}
+        return {"p": 0.0, "r": 0.0, "map50": 0.0, "map": 0.0}
+
+    box = summarize(stats_box)
+    mask = summarize(stats_mask)
+    out = {"box": box, "mask": mask, "images": n_images,
+           "fitness": 0.9 * (box["map"] + mask["map"]) / 2
+                      + 0.1 * (box["map50"] + mask["map50"]) / 2}
+    if verbose:
+        print(f"seg val: box mAP50 {box['map50']:.3f} mAP {box['map']:.3f} | "
+              f"mask mAP50 {mask['map50']:.3f} mAP {mask['map']:.3f}")
+    return out
+
+
+def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
+        imgsz=640, optimizer="sgd", cos_lr=False, seed=0, workers=8,
+        max_labels=128, single_cls=False, mask_ratio=4, no_overlap=False,
+        project="runs/train-seg", name="exp", exist_ok=False, nosave=False,
+        noval=False, save_dir=None, dtype="float32"):
+    """Train an instance-segmentation model. Returns (best_fitness, results, dir)."""
+    init_seeds(seed)
+    data_dict = check_dataset(data)
+    nc = 1 if single_cls else int(data_dict["nc"])
+    hyp = load_hyp(hyp)
+    overlap = not no_overlap
+
+    save_dir = Path(save_dir) if save_dir else increment_path(
+        Path(project) / name, exist_ok=exist_ok)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    loggers = Loggers(save_dir)
+
+    model = SegmentationModel(cfg, nc=nc,
+                              dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    imgsz = check_img_size(imgsz, s=max(model.stride))
+    nm = dict(model.head_spec.kwargs).get("nm", 32)
+
+    rank, world = jax.process_index(), jax.process_count()
+    _, train_loader = create_loader(
+        data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
+        hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
+        shard=(rank, world), single_cls=single_cls, masks=True,
+        mask_ratio=mask_ratio, overlap=overlap,
+    )
+    val_loader = None
+    if data_dict.get("val") and not noval:
+        _, val_loader = create_loader(
+            data_dict["val"], img_size=imgsz, batch_size=batch_size,
+            augment=False, shuffle=False, workers=workers,
+            max_labels=max_labels, single_cls=single_cls, masks=True,
+            mask_ratio=mask_ratio, overlap=overlap,
+        )
+
+    nb = len(train_loader)
+    hyp_scaled = scale_hyp(hyp, nl=len(model.stride), nc=nc, imgsz=imgsz)
+    loss_fn = ComputeSegmentLoss(model.anchors_per_stride, nc, hyp_scaled,
+                                 nm=nm, overlap=overlap)
+    tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
+                         steps_per_epoch=nb, batch_size=batch_size,
+                         name=optimizer, cos_lr=cos_lr)
+    state = init_train_state(model, tx)
+    mesh = make_mesh()
+    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh, has_masks=True)
+
+    best_fitness, results = 0.0, {}
+    print(f"seg training {cfg}: {nb} steps/epoch, imgsz {imgsz}")
+    with mesh:
+        state = replicate(state, mesh)
+        for epoch in range(epochs):
+            train_loader.set_epoch(epoch)
+            agg = None
+            t0 = time.time()
+            for batch in train_loader:
+                batch = shard_batch(batch, mesh)
+                state, metrics = step_fn(state, batch)
+                # device-side accumulation: no per-step host sync
+                agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
+            n = max(len(train_loader), 1)
+            row = {f"train/{k}": float(v) / n for k, v in jax.device_get(agg).items()}
+            row["train/imgs_per_sec"] = n * batch_size / (time.time() - t0)
+            fi = 0.0
+            if val_loader is not None:
+                ema_vars = {"params": state.ema.params, "batch_stats": state.ema.batch_stats}
+                results = evaluate_segment(model, ema_vars, val_loader, overlap=overlap)
+                row.update({"val/box_map50": results["box"]["map50"],
+                            "val/box_map": results["box"]["map"],
+                            "val/mask_map50": results["mask"]["map50"],
+                            "val/mask_map": results["mask"]["map"]})
+                fi = results["fitness"]
+            row["fitness"] = fi
+            loggers.log_metrics(row, epoch)
+            print(f"epoch {epoch + 1}/{epochs}  " +
+                  "  ".join(f"{k.split('/')[-1]} {v:.4g}" for k, v in row.items()))
+            if fi >= best_fitness:
+                best_fitness = fi
+                if not nosave and val_loader is not None:
+                    save_checkpoint(save_dir / "best.ckpt", jax.device_get(state),
+                                    model, epoch, best_fitness)
+            if not nosave:
+                save_checkpoint(save_dir / "last.ckpt", jax.device_get(state),
+                                model, epoch, best_fitness)
+    loggers.close()
+    return best_fitness, results, save_dir

@@ -64,10 +64,16 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False):
     """
 
     def step_fn(state: TrainState, batch):
+        # normalize on device: uint8 batches cross PCIe/tunnel 4x smaller
+        # (reference divides by 255 after H2D too, train.py:379)
+        images = batch["images"]
+        if images.dtype == jnp.uint8:
+            images = images.astype(model.dtype) / 255.0
+
         def loss_of(params):
             out, mutated = model.module.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["images"],
+                images,
                 train=True,
                 mutable=["batch_stats"],
             )
