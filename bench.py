@@ -2,9 +2,13 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's headline yolov5s V100 b32 speed of 0.9 ms/img
-(reference README.md:228) = 1111 img/s; NMS excluded there, so the primary
-metric here is forward+decode as well. NMS timing is reported alongside in
-extras (the p50 NMS north-star).
+(reference README.md:228) = 1111 img/s; NMS (~1 ms) excluded there, so the
+primary metric is forward+decode.
+
+Methodology: K calls are chained and a scalar fetch forces completion —
+on the tunneled single-chip setup `block_until_ready` returns early and
+per-call host timing measures dispatch latency (~20 ms round trip), not
+device time. Chaining reflects pipelined steady-state serving throughput.
 """
 
 import json
@@ -18,7 +22,21 @@ import jax.numpy as jnp
 BASELINE_IMG_S = 1000.0 / 0.9  # V100 b32, reference README.md:228
 
 
-def main(batch=32, imgsz=640, iters=30, warmup=5):
+def chain_time(fn, args, k=20):
+    """Median-of-3 of (k chained executions + one forced scalar sync) / k."""
+    out = fn(*args)
+    _ = float(jnp.sum(out[0][..., 0]) if isinstance(out, tuple) else jnp.sum(out[..., 0]))
+    times = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = fn(*args)
+        _ = float(jnp.sum(out[0][..., 0]) if isinstance(out, tuple) else jnp.sum(out[..., 0]))
+        times.append((time.perf_counter() - t0) / k)
+    return float(np.median(times))
+
+
+def main(batch=32, imgsz=640, k=20):
     from yolov5_tpu.models import DetectionModel
     from yolov5_tpu.models.weights import fuse_conv_bn
     from yolov5_tpu.ops.nms import non_max_suppression
@@ -35,29 +53,19 @@ def main(batch=32, imgsz=640, iters=30, warmup=5):
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (batch, imgsz, imgsz, 3)), jnp.bfloat16)
 
-    pred = forward(fused_vars, images)
-    pred.block_until_ready()  # compile
-    times = []
-    for _ in range(warmup):
-        forward(fused_vars, images).block_until_ready()
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        forward(fused_vars, images).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    t_fwd = float(np.median(times))
+    t_fwd = chain_time(lambda v, x: forward(v, x), (fused_vars, images), k)
     img_s = batch / t_fwd
 
-    # NMS timing (on-device, conf 0.25 detect settings)
-    nms = lambda p: non_max_suppression(p, conf_thres=0.25, iou_thres=0.45,
-                                        max_nms=2048, max_det=300)
-    d = nms(pred)
-    jax.block_until_ready(d)
-    nms_times = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        jax.block_until_ready(nms(pred))
-        nms_times.append(time.perf_counter() - t0)
-    nms_ms = float(np.median(nms_times)) * 1000 / batch
+    pred = forward(fused_vars, images)
+
+    @jax.jit
+    def nms(p):
+        d = non_max_suppression(p, conf_thres=0.25, iou_thres=0.45,
+                                max_nms=2048, max_det=300)
+        return d.boxes
+
+    t_nms = chain_time(lambda p: nms(p), (pred,), k=10)
+    nms_ms = t_nms * 1000 / batch
 
     result = {
         "metric": "yolov5s_640_bf16_images_per_sec_per_chip_b32",
