@@ -108,14 +108,15 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     g: int = 1
     e: float = 0.5
+    act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, g=self.g, fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
+        y = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             y = x + y
         return y
@@ -166,21 +167,22 @@ class C3(nn.Module):
     shortcut: bool = True
     g: int = 1
     e: float = 0.5
+    act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
 
     def inner(self, c_: int, i: int) -> nn.Module:
-        return Bottleneck(c_, self.shortcut, self.g, e=1.0, fused=self.fused,
-                          dtype=self.dtype, name=f"m_{i}")
+        return Bottleneck(c_, self.shortcut, self.g, e=1.0, act=self.act,
+                          fused=self.fused, dtype=self.dtype, name=f"m_{i}")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         for i in range(self.n):
             y1 = self.inner(c_, i)(y1, train)
-        y2 = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv3")(
+        y2 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv3")(
             jnp.concatenate([y1, y2], axis=-1), train
         )
 
@@ -205,19 +207,20 @@ class SPP(nn.Module):
 
     c2: int
     k: Sequence[int] = (5, 9, 13)
+    act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         pools = [
             nn.max_pool(x, (k, k), strides=(1, 1), padding=((k // 2, k // 2), (k // 2, k // 2)))
             for k in self.k
         ]
         x = jnp.concatenate([x, *pools], axis=-1)
-        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
+        return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
 
 
 class SPPF(nn.Module):
@@ -226,19 +229,20 @@ class SPPF(nn.Module):
 
     c2: int
     k: int = 5
+    act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = x.shape[-1] // 2
-        x = Conv(c_, 1, 1, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        x = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
         p = self.k // 2
         pool = lambda v: nn.max_pool(v, (self.k, self.k), strides=(1, 1), padding=((p, p), (p, p)))
         y1 = pool(x)
         y2 = pool(y1)
         y3 = pool(y2)
-        return Conv(self.c2, 1, 1, fused=self.fused, dtype=self.dtype, name="cv2")(
+        return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(
             jnp.concatenate([x, y1, y2, y3], axis=-1), train
         )
 
@@ -341,6 +345,32 @@ class Expand(nn.Module):
         x = x.reshape(b, h, w, g, g, c // (g * g))
         x = x.transpose(0, 1, 3, 2, 4, 5)
         return x.reshape(b, h * g, w * g, c // (g * g))
+
+
+class MaxPool(nn.Module):
+    """Plain max pool (yolov3-tiny configs use torch nn.MaxPool2d rows)."""
+
+    k: int = 2
+    s: int = 2
+    p: int = 0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.max_pool(
+            x, (self.k, self.k), strides=(self.s, self.s),
+            padding=((self.p, self.p), (self.p, self.p)),
+        )
+
+
+class ZeroPad(nn.Module):
+    """Asymmetric spatial zero pad (torch nn.ZeroPad2d (l, r, t, b))."""
+
+    pads: tuple = (0, 1, 0, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        l, r, t, b = self.pads
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))
 
 
 class Concat(nn.Module):

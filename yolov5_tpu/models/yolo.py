@@ -39,7 +39,16 @@ CONFIG_DIR = Path(__file__).parent / "configs"
 # sequential repetition (reference models/yolo.py:418-421).
 _INTERNAL_N = {"C3", "C3x", "C3TR", "C3Ghost", "BottleneckCSP"}
 # Modules taking no channel argument.
-_NO_CHANNELS = {"Concat", "Upsample", "nn.Upsample", "Contract", "Expand"}
+_NO_CHANNELS = {"Concat", "Upsample", "nn.Upsample", "Contract", "Expand",
+                "MaxPool", "nn.MaxPool2d", "ZeroPad", "nn.ZeroPad2d"}
+
+# torch-style activation strings in YAML `activation:` keys -> our names
+_ACT_ALIASES = {
+    "nn.SiLU()": "silu", "nn.ReLU()": "relu", "nn.LeakyReLU(0.1)": "leaky_relu",
+    "nn.Hardswish()": "hardswish", "nn.Mish()": "mish",
+    "silu": "silu", "relu": "relu", "leaky_relu": "leaky_relu",
+    "hardswish": "hardswish", "mish": "mish", "identity": "identity",
+}
 def _hashable(x):
     """Recursively convert lists to tuples so specs stay hashable."""
     if isinstance(x, (list, tuple)):
@@ -99,6 +108,8 @@ def parse_graph(cfg: dict, ch_in: int = 3):
     anchors = cfg.get("anchors")
     nc = cfg["nc"]
     act = cfg.get("activation")  # optional global activation override
+    if act:
+        act = _ACT_ALIASES.get(str(act), str(act))
     if isinstance(anchors, (list, tuple)):
         na = len(anchors[0]) // 2
         anchors_t = tuple(tuple(zip(a[0::2], a[1::2])) for a in anchors)
@@ -114,6 +125,8 @@ def parse_graph(cfg: dict, ch_in: int = 3):
     rows = list(cfg["backbone"]) + list(cfg["head"])
     for i, (f, n, m, args) in enumerate(rows):
         frm = tuple(f) if isinstance(f, (list, tuple)) else (f,)
+        # normalize negative indices (other than -1 = previous) to absolute
+        frm = tuple(x if x == -1 else (x if x >= 0 else i + x) for x in frm)
         args = [_resolve_arg(a, nc, anchors) for a in args]
         n_scaled = max(round(n * gd), 1) if n > 1 else n
         kwargs: dict[str, Any] = {}
@@ -130,6 +143,16 @@ def parse_graph(cfg: dict, ch_in: int = 3):
                 scale = int(args[1]) if len(args) > 1 else 2
                 spec_args: tuple = (scale,)
                 m = "Upsample"
+            elif m in {"nn.MaxPool2d", "MaxPool"}:
+                # torch signature (kernel, stride, padding)
+                k = int(args[0]) if args else 2
+                s = int(args[1]) if len(args) > 1 else k
+                p = int(args[2]) if len(args) > 2 else 0
+                spec_args = (k, s, p)
+                m = "MaxPool"
+            elif m in {"nn.ZeroPad2d", "ZeroPad"}:
+                spec_args = (_hashable(args[0]) if args else (0, 1, 0, 1),)
+                m = "ZeroPad"
             elif m in {"Contract", "Expand"}:
                 spec_args = (int(args[0]),)
                 gain = int(args[0])
@@ -215,6 +238,8 @@ def _build_module(spec: LayerSpec, fused: bool, dtype, name: str) -> nn.Module:
         "Expand": L.Expand,
         "Concat": L.Concat,
         "Upsample": L.Upsample,
+        "MaxPool": L.MaxPool,
+        "ZeroPad": L.ZeroPad,
         "TransformerBlock": L.TransformerBlock,
         "Detect": L.Detect,
         "Segment": L.Segment,
@@ -222,11 +247,15 @@ def _build_module(spec: LayerSpec, fused: bool, dtype, name: str) -> nn.Module:
         "Classify": L.Classify,
     }
     ctor = registry[spec.module]
-    if spec.module in {"Concat", "Upsample", "Contract", "Expand"}:
+    if spec.module in {"Concat", "Upsample", "Contract", "Expand", "MaxPool", "ZeroPad"}:
         if spec.module == "Upsample":
             return ctor(scale=spec.args[0], name=name)
         if spec.module in {"Contract", "Expand"}:
             return ctor(gain=spec.args[0], name=name)
+        if spec.module == "MaxPool":
+            return ctor(k=spec.args[0], s=spec.args[1], p=spec.args[2], name=name)
+        if spec.module == "ZeroPad":
+            return ctor(pads=spec.args[0], name=name)
         return ctor(name=name)
     if spec.module in {"Detect", "Segment"}:
         return ctor(nc=spec.args[0], anchors=spec.args[1], dtype=dtype, name=name, **kw)
