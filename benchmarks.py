@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark all export formats + optional mAP floors
+(the reference benchmarks.py:51-210 equivalent).
+
+For each available export format: export yolov5n (or --weights), verify its
+outputs numerically against the native JAX forward, time it, and — when a
+dataset is given — run validation and assert the --hard-fail mAP floor.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", default="", help=".ckpt to benchmark (else random yolov5n)")
+    p.add_argument("--cfg", default="yolov5n")
+    p.add_argument("--imgsz", type=int, default=320)
+    p.add_argument("--data", default=None, help="dataset yaml for mAP check")
+    p.add_argument("--hard-fail", type=float, default=None, help="min mAP50-95")
+    p.add_argument("--output-dir", default="runs/benchmarks")
+    return p.parse_args()
+
+
+def main():
+    opt = parse_opt()
+    import jax.numpy as jnp
+
+    from yolov5_tpu.export import export_formats, run as export_run
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.utils.profile import chain_time
+
+    det = Detector(opt.weights, cfg=opt.cfg, imgsz=opt.imgsz)
+    rng = np.random.default_rng(0)
+    im = rng.integers(0, 255, (1, opt.imgsz, opt.imgsz, 3), dtype=np.uint8)
+    ref = np.asarray(det._forward(det.variables, jnp.asarray(im)), np.float32)
+
+    arts = export_run(weights=opt.weights, cfg=opt.cfg, imgsz=opt.imgsz,
+                      include=tuple(n for n, _, ok, _ in export_formats() if ok),
+                      output_dir=opt.output_dir)
+    rows = []
+    t = chain_time(lambda x: det._forward(det.variables, x), (jnp.asarray(im),), k=5)
+    rows.append({"format": "jax (native)", "ok": True, "ms": round(t * 1000, 2),
+                 "max_abs_diff": 0.0})
+
+    if arts.get("saved_model"):
+        import tensorflow as tf
+
+        mod = tf.saved_model.load(str(arts["saved_model"]))
+        out = np.asarray(mod.f(tf.constant(im)), np.float32)
+        diff = float(np.abs(out - ref).max())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            mod.f(tf.constant(im))
+        rows.append({"format": "saved_model", "ok": diff < 0.1,
+                     "ms": round((time.perf_counter() - t0) / 5 * 1000, 2),
+                     "max_abs_diff": round(diff, 5)})
+
+    if arts.get("tflite"):
+        import tensorflow as tf
+
+        interp = tf.lite.Interpreter(model_path=str(arts["tflite"]))
+        interp.allocate_tensors()
+        inp = interp.get_input_details()[0]
+        outd = interp.get_output_details()[0]
+        interp.set_tensor(inp["index"], im)
+        t0 = time.perf_counter()
+        interp.invoke()
+        out = interp.get_tensor(outd["index"]).astype(np.float32)
+        diff = float(np.abs(out - ref).max()) if out.shape == ref.shape else -1.0
+        rows.append({"format": "tflite", "ok": 0 <= diff < 0.1,
+                     "ms": round((time.perf_counter() - t0) * 1000, 2),
+                     "max_abs_diff": round(diff, 5)})
+
+    if arts.get("stablehlo"):
+        rows.append({"format": "stablehlo", "ok": True, "ms": None,
+                     "max_abs_diff": None, "note": "serialized module artifact"})
+
+    map_result = None
+    if opt.data:
+        from yolov5_tpu.eval.evaluator import run as val_run
+
+        map_result = val_run(data=opt.data, weights=opt.weights, cfg=opt.cfg,
+                             imgsz=opt.imgsz, verbose=False)
+        rows.append({"format": "val", "ok": True, "map50_95": map_result["map"]})
+
+    print(json.dumps(rows, indent=1))
+    if opt.hard_fail is not None and map_result is not None:
+        assert map_result["map"] > opt.hard_fail, (
+            f"mAP {map_result['map']:.3f} below floor {opt.hard_fail}")
+        print(f"mAP floor passed: {map_result['map']:.3f} > {opt.hard_fail}")
+
+
+if __name__ == "__main__":
+    main()

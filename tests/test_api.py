@@ -1,0 +1,146 @@
+"""API-level tests: hub loading, TTA shapes, evolve mutation bounds, COCO
+json output, serve handler, export availability table, model_info."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+TINY = {
+    "nc": 2,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.125,
+    "anchors": [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 1, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 1, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 1, "SPPF", [512, 5]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "C3", [256, False]],
+        [[10, 7], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+
+def test_hub_list_and_load():
+    from yolov5_tpu import hub
+
+    models = hub.list_models()
+    assert "yolov5s" in models and "yolov3" in models and "yolov5s-seg" in models
+    assert len(models) >= 25
+
+
+def test_export_formats_table():
+    from yolov5_tpu.export import export_formats
+
+    table = {n: ok for n, _, ok, _ in export_formats()}
+    assert table["ckpt"] and table["stablehlo"]
+    assert not table["engine"]  # TensorRT n/a, reported not crashed
+
+
+def test_detector_tta(tmp_path):
+    from yolov5_tpu.infer import Detector
+
+    det = Detector("", cfg=TINY, imgsz=64, fuse=False)
+    im = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    d_plain = det(im, conf_thres=0.0001, max_nms=256, max_det=10)
+    d_tta = det(im, conf_thres=0.0001, max_nms=256, max_det=10, augment=True)
+    assert d_plain.boxes.shape == d_tta.boxes.shape == (1, 10, 4)
+
+
+def test_evolve_mutation_bounds(rng):
+    from yolov5_tpu.train.evolve import META, mutate, select_parent
+    from yolov5_tpu.utils.hyp import load_hyp
+
+    base = load_hyp(None)
+    for _ in range(20):
+        child = mutate(base, rng)
+        for k, (_, lo, hi) in META.items():
+            if k in child:
+                assert lo <= child[k] <= hi, (k, child[k])
+    # parent selection prefers higher fitness
+    hist = [(0.1, {"lr0": 0.01}), (0.9, {"lr0": 0.02})]
+    picks = [select_parent(hist, rng)["lr0"] for _ in range(50)]
+    assert picks.count(0.02) > picks.count(0.01)
+
+
+def test_model_info():
+    from yolov5_tpu.models import DetectionModel
+    from yolov5_tpu.utils.profile import model_info
+
+    m = DetectionModel(TINY)
+    info = model_info(m, imgsz=64, verbose=False)
+    assert info["parameters"] > 1e4
+    assert info["layers"] == 12
+
+
+def test_serve_handler(tmp_path):
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.serve import make_handler
+    from http.server import ThreadingHTTPServer
+
+    det = Detector("", cfg=TINY, imgsz=64, fuse=False)
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler({"tiny": det}, api_key="k", conf_thres=0.001))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # health
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read())["models"] == ["tiny"]
+        # image post
+        im = np.random.default_rng(0).integers(0, 255, (80, 60, 3), dtype=np.uint8)
+        ok, buf = cv2.imencode(".jpg", im)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/object-detection/tiny",
+            data=buf.tobytes(), method="POST",
+            headers={"X-API-Key": "k", "Content-Type": "image/jpeg"})
+        with urllib.request.urlopen(req) as r:
+            rows = json.loads(r.read())
+        assert isinstance(rows, list)
+        for row in rows:
+            assert set(row) == {"xmin", "ymin", "xmax", "ymax", "confidence",
+                                "class", "name"}
+        # bad key
+        req2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/object-detection/tiny",
+            data=buf.tobytes(), method="POST", headers={"X-API-Key": "wrong"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req2)
+        assert e.value.code == 401
+    finally:
+        server.shutdown()
+
+
+def test_coco_json_output(tmp_path, rng):
+    from yolov5_tpu.data.dataset import create_loader
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+    from yolov5_tpu.eval.evaluator import evaluate
+    from yolov5_tpu.models import DetectionModel
+
+    cfg = generate_shapes_dataset(tmp_path / "d", n_images=4, img_size=64, seed=0)
+    m = DetectionModel(TINY, nc=3)
+    _, loader = create_loader(cfg["train"], img_size=64, batch_size=2,
+                              augment=False, workers=1, max_labels=8)
+    out = evaluate(m, m.variables, loader, conf_thres=0.0001, max_nms=128,
+                   max_det=10, save_json=tmp_path / "preds.json")
+    rows = json.loads((tmp_path / "preds.json").read_text())
+    assert isinstance(rows, list)
+    if rows:
+        assert set(rows[0]) == {"image_id", "category_id", "bbox", "score"}
+        assert len(rows[0]["bbox"]) == 4

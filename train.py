@@ -32,6 +32,8 @@ def parse_opt():
     p.add_argument("--resume", default="", help="checkpoint to resume from")
     p.add_argument("--max-labels", type=int, default=128)
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--evolve", type=int, nargs="?", const=30, default=0,
+                   help="evolve hyperparameters for N generations")
     p.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
     return p.parse_args()
 
@@ -42,6 +44,16 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if opt.evolve:
+        from yolov5_tpu.train.evolve import run_evolve
+
+        run_evolve(data=opt.data, cfg=opt.cfg, hyp=opt.hyp,
+                   generations=opt.evolve, epochs=opt.epochs,
+                   batch_size=opt.batch_size, imgsz=opt.imgsz,
+                   save_dir=f"{opt.project.replace('train', 'evolve')}/{opt.name}",
+                   seed=opt.seed)
+        return
+
     from yolov5_tpu.train.run import run
 
     run(

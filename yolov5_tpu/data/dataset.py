@@ -119,6 +119,24 @@ class YOLODataset:
         self.n = len(self.im_files)
         self.indices = np.arange(self.n)
         self.mosaic_border = (-img_size // 2, -img_size // 2)
+        self._shapes = None
+
+    @property
+    def shapes(self):
+        """(n, 2) original (h, w) per image — header-only reads, cached."""
+        if self._shapes is None:
+            from PIL import Image
+
+            out = np.zeros((self.n, 2), np.int32)
+            for i, f in enumerate(self.im_files):
+                try:
+                    with Image.open(f) as im:
+                        w, h = im.size
+                    out[i] = (h, w)
+                except Exception:
+                    out[i] = (0, 0)
+            self._shapes = out
+        return self._shapes
 
     def __len__(self):
         return self.n
@@ -364,9 +382,14 @@ class Loader:
             for bi in range(nb):
                 chunk = idx[bi * self.bs : (bi + 1) * self.bs]
                 samples = list(pool.map(fetch, chunk))
+                pad_chunk = list(chunk)
                 while len(samples) < self.bs:  # pad final partial batch
                     samples.append(samples[-1])
-                yield self._collate(samples)
+                    pad_chunk.append(pad_chunk[-1])
+                batch = self._collate(samples)
+                batch["paths"] = [self.ds.im_files[int(i)] for i in pad_chunk]
+                batch["indices"] = np.asarray(pad_chunk, np.int64)
+                yield batch
 
 
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,

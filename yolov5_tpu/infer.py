@@ -112,6 +112,7 @@ class Detector:
         self.dtype = dtype
 
         model = self.model
+        gs = max(model.stride)
 
         @jax.jit
         def _forward(variables, images):
@@ -121,14 +122,53 @@ class Detector:
 
         self._forward = _forward
 
+        @jax.jit
+        def _forward_tta(variables, images):
+            """Test-time augmentation: scales (1, .83, .67) x flips
+            (none, lr, none), predictions de-scaled back to the input frame
+            (reference models/yolo.py:269-312)."""
+            h, w = images.shape[1:3]
+            x0 = images.astype(dtype) / 255.0
+            outs = []
+            for ratio, flip in ((1.0, False), (0.83, True), (0.67, False)):
+                x = x0
+                if flip:
+                    x = x[:, :, ::-1, :]
+                if ratio != 1.0:
+                    nh = -int(-h * ratio // gs) * gs  # ceil to stride multiple
+                    nw = -int(-w * ratio // gs) * gs
+                    x = jax.image.resize(x, (x.shape[0], int(h * ratio),
+                                             int(w * ratio), 3), "bilinear")
+                    x = jnp.pad(x, ((0, 0), (0, nh - x.shape[1]),
+                                    (0, nw - x.shape[2]), (0, 0)),
+                                constant_values=0.447)
+                maps = model.module.apply(variables, x, train=False)
+                p = model.decode(maps)
+                # de-scale with the actual per-axis resize ratio
+                rx = (int(w * ratio) / w) if ratio != 1.0 else 1.0
+                ry = (int(h * ratio) / h) if ratio != 1.0 else 1.0
+                xs = p[..., 0:1] / rx
+                ys = p[..., 1:2] / ry
+                ws = p[..., 2:3] / rx
+                hs = p[..., 3:4] / ry
+                if flip:
+                    xs = w - xs
+                p = jnp.concatenate([xs, ys, ws, hs, p[..., 4:]], axis=-1)
+                outs.append(p)
+            return jnp.concatenate(outs, axis=1)
+
+        self._forward_tta = _forward_tta
+
     def warmup(self, batch_size=1):
         im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
         self._forward(self.variables, im).block_until_ready()
 
     def __call__(self, images_uint8, conf_thres=0.25, iou_thres=0.45,
-                 max_det=1000, classes=None, agnostic=False, max_nms=2048):
+                 max_det=1000, classes=None, agnostic=False, max_nms=2048,
+                 augment=False):
         """images: (bs, s, s, 3) uint8 RGB (letterboxed). Returns Detections."""
-        preds = self._forward(self.variables, jnp.asarray(images_uint8))
+        fwd = self._forward_tta if augment else self._forward
+        preds = fwd(self.variables, jnp.asarray(images_uint8))
         class_filter = None
         if classes is not None:
             class_filter = np.zeros(self.model.nc, bool)

@@ -157,6 +157,7 @@ def run(
             agg = None
             t0 = time.time()
             for i, batch in enumerate(train_loader):
+                batch = {k: batch[k] for k in ("images", "targets", "valid")}
                 batch = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, batch)
                 # accumulate on device: a float() here would force a full

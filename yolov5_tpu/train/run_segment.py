@@ -172,6 +172,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             agg = None
             t0 = time.time()
             for batch in train_loader:
+                batch = {k: batch[k] for k in ("images", "targets", "valid", "masks")}
                 batch = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, batch)
                 # device-side accumulation: no per-step host sync
