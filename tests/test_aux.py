@@ -145,3 +145,56 @@ def test_plots_smoke(tmp_path, rng):
     v[:, 0] = True
     plot_images(ims, t, v, tmp_path / "batch.png")
     assert (tmp_path / "batch.png").exists()
+
+
+def test_freeze_mask_and_optimizer(rng):
+    import optax
+    import jax
+    import jax.numpy as jnp
+    from yolov5_tpu.train.optim import build_optimizer, freeze_mask
+
+    params = {"layers_0": {"conv": {"kernel": jnp.ones((3, 3, 4, 8))}},
+              "layers_1": {"conv": {"kernel": jnp.ones((3, 3, 8, 8))}},
+              "layers_10": {"conv": {"kernel": jnp.ones((1, 1, 8, 8))}}}
+    mask = freeze_mask(params, 2)
+    assert mask["layers_0"]["conv"]["kernel"] is True
+    assert mask["layers_1"]["conv"]["kernel"] is True
+    assert mask["layers_10"]["conv"]["kernel"] is False  # 10 != prefix of 0/1
+
+    hyp = {"lr0": 0.1, "lrf": 1.0, "weight_decay": 0.0, "warmup_epochs": 0.0}
+    tx = build_optimizer(params, hyp, epochs=1, steps_per_epoch=1,
+                         batch_size=64, freeze=2)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    # two updates: at step 0 warmup LR is exactly 0 for every group
+    updates, state = tx.update(grads, state, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["layers_0"]["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["layers_1"]["conv"]["kernel"]).sum()) == 0.0
+    assert float(jnp.abs(updates["layers_10"]["conv"]["kernel"]).sum()) > 0.0
+
+
+def test_image_weights_resampling(tmp_path, rng):
+    from yolov5_tpu.data.dataset import Loader, YOLODataset
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+
+    cfg = generate_shapes_dataset(tmp_path / "iw", n_images=10, img_size=96, seed=0)
+    ds = YOLODataset(cfg["train"], img_size=96)
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=0, workers=1)
+    w = np.zeros(len(ds))
+    w[3] = 1.0  # everything sampled from image 3
+    loader.set_image_weights(w, epoch=0)
+    idx = loader._indices(0)
+    assert (idx == 3).all()
+
+
+def test_ram_cache(tmp_path):
+    from yolov5_tpu.data.dataset import YOLODataset
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+
+    cfg = generate_shapes_dataset(tmp_path / "rc", n_images=3, img_size=96, seed=0)
+    ds = YOLODataset(cfg["train"], img_size=96, cache="ram")
+    im1, _, _ = ds.load_image(0)
+    assert 0 in ds._ram
+    im2, _, _ = ds.load_image(0)
+    np.testing.assert_array_equal(im1, im2)

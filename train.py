@@ -34,6 +34,11 @@ def parse_opt():
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--evolve", type=int, nargs="?", const=30, default=0,
                    help="evolve hyperparameters for N generations")
+    p.add_argument("--freeze", type=int, default=0, help="freeze first N layers")
+    p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--cache", default=None, choices=[None, "ram"])
+    p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
     return p.parse_args()
 
@@ -64,6 +69,9 @@ def main():
         project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
         nosave=opt.nosave, noval=opt.noval, save_period=opt.save_period,
         resume=opt.resume, max_labels=opt.max_labels, dtype=opt.dtype,
+        freeze=opt.freeze or None, multi_scale=opt.multi_scale,
+        image_weights=opt.image_weights, cache=opt.cache,
+        noautoanchor=opt.noautoanchor,
     )
 
 

@@ -100,9 +100,12 @@ class YOLODataset:
     xywh, segments) with the reference augmentation stack."""
 
     def __init__(self, path, img_size=640, augment=False, hyp=None,
-                 single_cls=False, stride=32, pad=0.0, use_segments=False):
+                 single_cls=False, stride=32, pad=0.0, use_segments=False,
+                 cache=None):
         self.img_size = img_size
         self.augment = augment
+        self.cache = cache  # None | 'ram'
+        self._ram: dict = {}
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
         self.single_cls = single_cls
         self.use_segments = use_segments
@@ -147,6 +150,9 @@ class YOLODataset:
         Returns (im, (h0, w0), (h, w))."""
         import cv2
 
+        if self.cache == "ram" and i in self._ram:
+            im, hw0, hw = self._ram[i]
+            return im.copy(), hw0, hw
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found {self.im_files[i]}")
@@ -155,6 +161,8 @@ class YOLODataset:
         if r != 1:
             interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
             im = cv2.resize(im, (math.ceil(w0 * r), math.ceil(h0 * r)), interpolation=interp)
+        if self.cache == "ram":
+            self._ram[i] = (im.copy(), (h0, w0), im.shape[:2])
         return im, (h0, w0), im.shape[:2]
 
     # -- label geometry ---------------------------------------------------
@@ -327,16 +335,30 @@ class Loader:
         self.mask_ratio = mask_ratio
         self.overlap = overlap
         self.epoch = 0
+        self.weighted_indices = None  # set per-epoch for --image-weights
 
     def __len__(self):
-        n = len(self._indices(0))
+        n = len(self.weighted_indices) if self.weighted_indices is not None else len(
+            self._indices(0))
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
 
     def _indices(self, epoch):
-        idx = np.arange(len(self.ds))
-        if self.shuffle:
-            idx = np.random.default_rng(self.seed + epoch).permutation(idx)
-        return idx[idx % self.world == self.rank] if self.world > 1 else idx
+        if self.weighted_indices is not None:
+            idx = np.asarray(self.weighted_indices)
+        else:
+            idx = np.arange(len(self.ds))
+            if self.shuffle:
+                idx = np.random.default_rng(self.seed + epoch).permutation(idx)
+        return idx[np.arange(len(idx)) % self.world == self.rank] if self.world > 1 else idx
+
+    def set_image_weights(self, weights, epoch=0):
+        """Resample the epoch's indices by per-image weights
+        (reference image_weights resampling, train.py:359-362)."""
+        rng = np.random.default_rng(self.seed + epoch)
+        n = len(self.ds)
+        p = np.asarray(weights, np.float64)
+        p = p / p.sum() if p.sum() > 0 else None
+        self.weighted_indices = rng.choice(n, size=n, replace=True, p=p)
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -394,11 +416,12 @@ class Loader:
 
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
-                  single_cls=False, masks=False, mask_ratio=4, overlap=True):
+                  single_cls=False, masks=False, mask_ratio=4, overlap=True,
+                  cache=None):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164)."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
-                     single_cls=single_cls, use_segments=masks)
+                     single_cls=single_cls, use_segments=masks, cache=cache)
     loader = Loader(ds, batch_size=batch_size,
                     shuffle=augment if shuffle is None else shuffle,
                     max_labels=max_labels, workers=workers, seed=seed,

@@ -90,8 +90,24 @@ def group_labels(params):
     return jax.tree_util.tree_map_with_path(lambda p, _: _group_of(p), params)
 
 
+def freeze_mask(params, freeze):
+    """True for params to freeze. `freeze` is N (first N graph layers) or an
+    explicit list of layer-name prefixes (reference train.py:216-222)."""
+    if isinstance(freeze, int):
+        prefixes = tuple(f"layers_{i}" for i in range(freeze))
+    else:
+        prefixes = tuple(freeze)
+
+    def label(path, _):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        return any(top == p or top.startswith(p + "_") for p in prefixes)
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
 def build_optimizer(params, hyp, epochs, steps_per_epoch, batch_size,
-                    name="sgd", nbs=64, cos_lr=False, clip_norm=10.0):
+                    name="sgd", nbs=64, cos_lr=False, clip_norm=10.0,
+                    freeze=None):
     """3-group optimizer with warmup schedules; returns an optax tx."""
     accumulate = max(round(nbs / batch_size), 1)
     lr_w, lr_b, mom, nw = make_schedules(hyp, epochs, steps_per_epoch, batch_size,
@@ -137,6 +153,10 @@ def build_optimizer(params, hyp, epochs, steps_per_epoch, batch_size,
     )
     if clip_norm:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if freeze:
+        # zero the final update for frozen layers (after decay/momentum so
+        # nothing leaks through weight decay)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask(params, freeze)))
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx

@@ -78,6 +78,11 @@ def run(
     val_batch_size=None,
     callbacks: Callbacks | None = None,
     resume="",
+    freeze=None,
+    multi_scale=False,
+    image_weights=False,
+    cache=None,
+    noautoanchor=False,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -121,8 +126,16 @@ def run(
     train_ds, train_loader = create_loader(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
-        shard=(rank, world), single_cls=single_cls,
+        shard=(rank, world), single_cls=single_cls, cache=cache,
     )
+    if not noautoanchor and not resume and not weights:
+        from yolov5_tpu.utils.autoanchor import check_anchors
+
+        new_anchors = check_anchors(train_ds, model, thr=hyp.get("anchor_t", 4.0),
+                                    imgsz=imgsz)
+        if new_anchors != model.anchors:
+            model.anchors = new_anchors
+            print("autoanchor: anchors updated")
     val_loader = None
     if data_dict.get("val") and not noval:
         _, val_loader = create_loader(
@@ -137,7 +150,7 @@ def run(
     loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled)
     tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
                          steps_per_epoch=nb, batch_size=batch_size,
-                         name=optimizer, cos_lr=cos_lr)
+                         name=optimizer, cos_lr=cos_lr, freeze=freeze)
     state = init_train_state(model, tx)
 
     mesh = make_mesh(device_count)
@@ -154,10 +167,38 @@ def run(
         for epoch in range(start_epoch, epochs):
             callbacks.run("on_train_epoch_start")
             train_loader.set_epoch(epoch)
+            if image_weights and results.get("per_class") is not None:
+                # resample images toward classes with the worst AP
+                # (reference train.py:359-362 + labels_to_image_weights)
+                from yolov5_tpu.utils.general import labels_to_class_weights
+
+                cw = labels_to_class_weights(train_ds.labels, nc)
+                ap_per = results.get("per_class", {})
+                err = np.array([cw[c] * (1.0 - ap_per.get(c, (0.0, 0.0))[1])
+                                for c in range(nc)])
+                iw = np.array([
+                    (err[l[:, 0].astype(int)].sum() if len(l) else 0.0)
+                    for l in train_ds.labels
+                ]) + 1e-6
+                train_loader.set_image_weights(iw, epoch)
             agg = None
             t0 = time.time()
+            if multi_scale:
+                # bucketed multi-scale: one size per epoch from 0.75/1.0/1.25x
+                # (few buckets keep the compile count bounded; the reference
+                # resamples per batch, train.py:393-398)
+                import cv2
+
+                gs = max(model.stride)
+                scales = [0.75, 1.0, 1.25]
+                s_ep = int(round(imgsz * scales[epoch % len(scales)] / gs) * gs)
             for i, batch in enumerate(train_loader):
                 batch = {k: batch[k] for k in ("images", "targets", "valid")}
+                if multi_scale and s_ep != imgsz:
+                    ims = batch["images"]
+                    batch["images"] = np.stack(
+                        [cv2.resize(im, (s_ep, s_ep), interpolation=cv2.INTER_LINEAR)
+                         for im in ims])
                 batch = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, batch)
                 # accumulate on device: a float() here would force a full
