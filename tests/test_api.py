@@ -144,3 +144,29 @@ def test_coco_json_output(tmp_path, rng):
     if rows:
         assert set(rows[0]) == {"image_id", "category_id", "bbox", "score"}
         assert len(rows[0]["bbox"]) == 4
+
+
+def test_results_api(tmp_path, rng):
+    from PIL import Image
+
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.results import predict
+
+    det = Detector("", cfg=TINY, imgsz=64, fuse=False)
+    arr = rng.integers(0, 255, (100, 80, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(arr).save(p)
+    pil = Image.fromarray(arr)
+    r = predict(det, [str(p), arr, pil], conf_thres=0.0001, max_det=5)
+    assert len(r) == 3
+    recs = r.records()
+    assert len(recs) == 3
+    for rec in recs:
+        for row in rec:
+            assert 0 <= row["xmin"] <= 80 and 0 <= row["ymax"] <= 100
+    dfs = r.pandas()
+    assert len(dfs) == 3
+    out = r.save(tmp_path / "render")
+    assert len(list(out.glob("*.jpg"))) == 3
+    crops = r.crop()
+    assert isinstance(crops, list)

@@ -39,6 +39,8 @@ def parse_opt():
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--cache", default=None, choices=[None, "ram"])
     p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--device-aug", action="store_true",
+                   help="run HSV/perspective/flip augmentation on-device in the jitted step")
     p.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
     return p.parse_args()
 
@@ -71,7 +73,7 @@ def main():
         resume=opt.resume, max_labels=opt.max_labels, dtype=opt.dtype,
         freeze=opt.freeze or None, multi_scale=opt.multi_scale,
         image_weights=opt.image_weights, cache=opt.cache,
-        noautoanchor=opt.noautoanchor,
+        noautoanchor=opt.noautoanchor, device_aug=opt.device_aug,
     )
 
 

@@ -101,9 +101,12 @@ class YOLODataset:
 
     def __init__(self, path, img_size=640, augment=False, hyp=None,
                  single_cls=False, stride=32, pad=0.0, use_segments=False,
-                 cache=None):
+                 cache=None, device_aug=False):
         self.img_size = img_size
         self.augment = augment
+        # device_aug: host does only mosaic composition + border crop;
+        # HSV/perspective/flips run on-device inside the jitted train step
+        self.device_aug = device_aug
         self.cache = cache  # None | 'ram'
         self._ram: dict = {}
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
@@ -233,11 +236,14 @@ class YOLODataset:
             np.clip(seg, 0, 2 * s, out=seg)
 
         hyp = self.hyp
+        geo = dict(degrees=hyp["degrees"], translate=hyp["translate"],
+                   scale=hyp["scale"], shear=hyp["shear"],
+                   perspective=hyp["perspective"])
+        if self.device_aug:  # geometry happens on device; host only crops
+            geo = dict(degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+                       perspective=0.0)
         im4, labels4, segments4 = random_perspective(
-            im4, labels4, segments4,
-            degrees=hyp["degrees"], translate=hyp["translate"], scale=hyp["scale"],
-            shear=hyp["shear"], perspective=hyp["perspective"],
-            border=self.mosaic_border, rng=rng,
+            im4, labels4, segments4, border=self.mosaic_border, rng=rng, **geo,
         )
         return im4, labels4, segments4
 
@@ -264,7 +270,7 @@ class YOLODataset:
                 seg[:, 0] = seg[:, 0] * ratio[0] * w + pad[0]
                 seg[:, 1] = seg[:, 1] * ratio[1] * h + pad[1]
                 segments.append(seg)
-            if self.augment:
+            if self.augment and not self.device_aug:
                 im, labels, segments = random_perspective(
                     im, labels, segments,
                     degrees=hyp["degrees"], translate=hyp["translate"],
@@ -272,7 +278,7 @@ class YOLODataset:
                     perspective=hyp["perspective"], rng=rng,
                 )
 
-        if self.augment:
+        if self.augment and not self.device_aug:
             augment_hsv(im, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng=rng)
             if rng.random() < hyp["flipud"]:
                 im, labels = flip_ud(im, labels, segments)
@@ -417,11 +423,12 @@ class Loader:
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
-                  cache=None):
+                  cache=None, device_aug=False):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164)."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
-                     single_cls=single_cls, use_segments=masks, cache=cache)
+                     single_cls=single_cls, use_segments=masks, cache=cache,
+                     device_aug=device_aug)
     loader = Loader(ds, batch_size=batch_size,
                     shuffle=augment if shuffle is None else shuffle,
                     max_labels=max_labels, workers=workers, seed=seed,

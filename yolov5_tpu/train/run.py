@@ -83,6 +83,7 @@ def run(
     image_weights=False,
     cache=None,
     noautoanchor=False,
+    device_aug=False,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
     callbacks = callbacks or Callbacks()
@@ -127,6 +128,7 @@ def run(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, cache=cache,
+        device_aug=device_aug,
     )
     if not noautoanchor and not resume and not weights:
         from yolov5_tpu.utils.autoanchor import check_anchors
@@ -154,7 +156,8 @@ def run(
     state = init_train_state(model, tx)
 
     mesh = make_mesh(device_count)
-    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh)
+    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
+                              device_aug_hyp=hyp if device_aug else None)
     stopper = EarlyStopper(patience)
     callbacks.run("on_train_start")
     print(f"training {cfg} on {data_dict.get('train')}: {len(train_ds)} imgs, "

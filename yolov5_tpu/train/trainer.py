@@ -56,14 +56,22 @@ def init_train_state(model, tx) -> TrainState:
     )
 
 
-def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False):
+def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
+                    device_aug_hyp=None):
     """Build the jitted train step.
 
     batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
     (+ "masks" for segmentation). Returns (new_state, metrics).
+    device_aug_hyp: when set, HSV/perspective/flip augmentation runs
+    on-device inside this step (data/device_aug.py), keyed by state.step.
     """
 
     def step_fn(state: TrainState, batch):
+        if device_aug_hyp is not None:
+            from yolov5_tpu.data.device_aug import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            batch = device_augment(batch, key, device_aug_hyp)
         # normalize on device: uint8 batches cross PCIe/tunnel 4x smaller
         # (reference divides by 255 after H2D too, train.py:379)
         images = batch["images"]
