@@ -328,7 +328,8 @@ class Loader:
 
     def __init__(self, dataset: YOLODataset, batch_size=16, shuffle=False,
                  max_labels=128, workers=8, seed=0, shard=(0, 1),
-                 drop_last=True, masks=False, mask_ratio=4, overlap=True):
+                 drop_last=True, masks=False, mask_ratio=4, overlap=True,
+                 native=None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -342,6 +343,19 @@ class Loader:
         self.overlap = overlap
         self.epoch = 0
         self.weighted_indices = None  # set per-epoch for --image-weights
+        # native C++ batch decode+letterbox fast path: val/inference loading
+        # only (no augmentation), jpeg sources
+        self.native = False
+        if native is not False and not dataset.augment and not masks:
+            try:
+                from yolov5_tpu import native as native_lib
+
+                if all(f.lower().endswith((".jpg", ".jpeg"))
+                       for f in dataset.im_files) and native_lib.available():
+                    self.native = True
+                    self._native_lib = native_lib
+            except Exception:
+                self.native = False
 
     def __len__(self):
         n = len(self.weighted_indices) if self.weighted_indices is not None else len(
@@ -398,10 +412,55 @@ class Loader:
             batch["masks"] = gt_masks
         return batch
 
+    def _native_batch(self, chunk):
+        """C++ batch decode + letterbox; labels re-normalized to letterbox
+        frame. Falls back per-image to the python path on decode failure."""
+        s = self.ds.img_size
+        paths = [self.ds.im_files[int(i)] for i in chunk]
+        images, hws, ok = self._native_lib.decode_letterbox_batch(
+            paths, s, scaleup=False)
+        targets = np.zeros((len(chunk), self.max_labels, 5), np.float32)
+        valid = np.zeros((len(chunk), self.max_labels), bool)
+        for b, i in enumerate(chunk):
+            if not ok[b]:  # fallback (corrupt/odd jpeg)
+                im, labels, _ = self.ds.get_item(int(i))
+                images[b] = im
+                n = min(len(labels), self.max_labels)
+                if n:
+                    targets[b, :n] = labels[:n]
+                    valid[b, :n] = True
+                continue
+            h0, w0 = int(hws[b, 0]), int(hws[b, 1])
+            lab = self.ds.labels[int(i)]
+            n = min(len(lab), self.max_labels)
+            if n:
+                r = min(s / h0, s / w0, 1.0)
+                nw, nh = int(w0 * r + 0.5), int(h0 * r + 0.5)
+                px = (s - nw) / 2
+                py = (s - nh) / 2
+                t = lab[:n].copy()
+                t[:, 1] = (t[:, 1] * nw + px) / s
+                t[:, 2] = (t[:, 2] * nh + py) / s
+                t[:, 3] = t[:, 3] * nw / s
+                t[:, 4] = t[:, 4] * nh / s
+                targets[b, :n] = t
+                valid[b, :n] = True
+        return {"images": images, "targets": targets, "valid": valid}
+
     def __iter__(self):
         idx = self._indices(self.epoch)
         nb = len(self)
         base_seed = self.seed * 100003 + self.epoch * 1009
+        if self.native:
+            for bi in range(nb):
+                chunk = list(idx[bi * self.bs : (bi + 1) * self.bs])
+                while len(chunk) < self.bs:
+                    chunk.append(chunk[-1])
+                batch = self._native_batch(chunk)
+                batch["paths"] = [self.ds.im_files[int(i)] for i in chunk]
+                batch["indices"] = np.asarray(chunk, np.int64)
+                yield batch
+            return
         with ThreadPoolExecutor(self.workers) as pool:
             def fetch(i):
                 rng = np.random.default_rng(base_seed + int(i))
@@ -423,7 +482,7 @@ class Loader:
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
-                  cache=None, device_aug=False):
+                  cache=None, device_aug=False, native=None):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164)."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
@@ -433,5 +492,5 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                     shuffle=augment if shuffle is None else shuffle,
                     max_labels=max_labels, workers=workers, seed=seed,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
-                    overlap=overlap)
+                    overlap=overlap, native=native)
     return ds, loader
