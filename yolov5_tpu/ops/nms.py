@@ -216,10 +216,16 @@ def non_max_suppression(
     else:
         nms_boxes = top_boxes + (cls_idx.astype(top_boxes.dtype) * MAX_WH)[..., None]
 
-    nms_fn = _greedy_nms_scan if impl == "scan" else _greedy_nms_tiled
-    keep = jax.vmap(lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32), iou_thres))(
-        nms_boxes, top_scores
-    )  # (bs, K)
+    if impl == "pallas":
+        from yolov5_tpu.ops.nms_pallas import greedy_nms_pallas
+
+        keep = greedy_nms_pallas(nms_boxes.astype(jnp.float32),
+                                 top_scores.astype(jnp.float32), iou_thres)
+    else:
+        nms_fn = _greedy_nms_scan if impl == "scan" else _greedy_nms_tiled
+        keep = jax.vmap(
+            lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32), iou_thres)
+        )(nms_boxes, top_scores)  # (bs, K)
 
     # Compact kept detections to the front, pad to max_det.
     kept_scores = jnp.where(keep, top_scores, 0.0)
