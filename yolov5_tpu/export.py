@@ -129,7 +129,10 @@ def export_saved_model(forward, example, file):
     from jax.experimental import jax2tf
 
     tf_fn = tf.function(
-        jax2tf.convert(forward, with_gradient=False),
+        # multi-platform lowering: the artifact must run on CPU servers and
+        # TFLite, not just the TPU this process happens to sit on
+        jax2tf.convert(forward, with_gradient=False,
+                       native_serialization_platforms=("cpu", "tpu")),
         autograph=False,
         input_signature=[tf.TensorSpec(example.shape, tf.uint8, name="images")],
     )
