@@ -170,3 +170,44 @@ def test_results_api(tmp_path, rng):
     assert len(list(out.glob("*.jpg"))) == 3
     crops = r.crop()
     assert isinstance(crops, list)
+
+
+def test_tf_backend_detector(tmp_path):
+    """Export TINY to SavedModel + TFLite, reload through Detector, compare
+    detections with the native JAX backend."""
+    tf = pytest.importorskip("tensorflow")  # noqa: F841
+
+    from yolov5_tpu.export import run as export_run
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.ops.nms import detections_to_numpy
+    from yolov5_tpu.utils.checkpoint import save_checkpoint
+    from yolov5_tpu.train.trainer import TrainState
+    from yolov5_tpu.train.optim import EMAState
+    from yolov5_tpu.models import DetectionModel
+    import jax
+
+    # make a loadable ckpt of the TINY model
+    m = DetectionModel(TINY)
+    state = TrainState(
+        jnp.zeros((), jnp.int32), m.variables["params"],
+        m.variables.get("batch_stats", {}), None,
+        EMAState(m.variables["params"], m.variables.get("batch_stats", {}),
+                 jnp.zeros((), jnp.int32)))
+    ckpt = tmp_path / "tiny.ckpt"
+    save_checkpoint(ckpt, jax.device_get(state), m)
+
+    arts = export_run(weights=str(ckpt), imgsz=64, include=("saved_model", "tflite"),
+                      output_dir=tmp_path)
+    assert arts.get("saved_model") and arts.get("tflite")
+
+    im = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    det_jax = Detector(str(ckpt), imgsz=64)
+    det_sm = Detector(str(arts["saved_model"]), imgsz=64)
+    det_tl = Detector(str(arts["tflite"]), imgsz=64)
+    assert det_sm.backend == "saved_model" and det_sm.nc == 2
+    r_jax = detections_to_numpy(det_jax(im, conf_thres=0.001, max_nms=128, max_det=10))[0]
+    r_sm = detections_to_numpy(det_sm(im, conf_thres=0.001, max_nms=128, max_det=10))[0]
+    r_tl = detections_to_numpy(det_tl(im, conf_thres=0.001, max_nms=128, max_det=10))[0]
+    assert r_sm.shape == r_jax.shape == r_tl.shape
+    if len(r_jax):
+        np.testing.assert_allclose(r_sm[:, :4], r_jax[:, :4], atol=2.0)

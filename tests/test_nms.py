@@ -164,3 +164,13 @@ def test_nms_impl_pallas_end_to_end(rng):
     a = non_max_suppression(pred, max_nms=256, impl="tiled")
     # pallas impl needs a TPU (or interpret); compare shapes only on CPU
     assert a.boxes.shape == (2, 300, 4)
+
+
+def test_merge_nms_runs(rng):
+    pred = make_prediction(rng, bs=1, n=100, nc=3)
+    plain = non_max_suppression(pred, max_nms=128, max_det=20)
+    merged = non_max_suppression(pred, max_nms=128, max_det=20, merge=True)
+    assert merged.boxes.shape == plain.boxes.shape
+    # same survivors (merge only moves boxes), coordinates may shift
+    np.testing.assert_array_equal(np.asarray(merged.valid), np.asarray(plain.valid))
+    assert np.isfinite(np.asarray(merged.boxes)).all()

@@ -191,10 +191,16 @@ def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
     if "stablehlo" in include:
         artifacts["stablehlo"] = export_stablehlo(forward, example,
                                                   out_dir / f"{stem}.stablehlo")
+        if artifacts["stablehlo"]:
+            Path(str(artifacts["stablehlo"]) + ".json").write_text(
+                json.dumps(meta, indent=1, default=str))
     sm_dir = None
     if "saved_model" in include or "tflite" in include:
         sm_dir = export_saved_model(forward, example, out_dir / f"{stem}_saved_model")
         artifacts["saved_model"] = sm_dir
+        if sm_dir:
+            (Path(sm_dir) / "yolov5_tpu_meta.json").write_text(
+                json.dumps(meta, indent=1, default=str))
     if "tflite" in include and sm_dir:
         rep = None
         if int8:
@@ -204,4 +210,7 @@ def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
         artifacts["tflite"] = export_tflite(
             sm_dir, out_dir / f"{stem}{'-int8' if int8 else ''}.tflite",
             int8=int8, rep_data=rep)
+        if artifacts["tflite"]:
+            Path(str(artifacts["tflite"]) + ".json").write_text(
+                json.dumps(meta, indent=1, default=str))
     return artifacts

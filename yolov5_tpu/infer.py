@@ -79,6 +79,13 @@ class Detector:
         if half:
             dtype = jnp.bfloat16
         names = None
+        w = str(weights)
+        # exported TF backends (DetectMultiBackend role): the graph already
+        # contains decode, so __call__ only adds NMS
+        if w.endswith("_saved_model") or w.endswith(".tflite"):
+            self._init_tf_backend(w, imgsz, dtype)
+            return
+        self.backend = "jax"
         if str(weights).endswith(".ckpt"):
             from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
 
@@ -108,6 +115,7 @@ class Detector:
             except Exception as e:  # pragma: no cover
                 print(f"fuse failed ({e}); running unfused")
         self.names = names or self.model.names
+        self.nc = self.model.nc
         self.imgsz = imgsz
         self.dtype = dtype
 
@@ -159,19 +167,63 @@ class Detector:
 
         self._forward_tta = _forward_tta
 
+    def _init_tf_backend(self, w, imgsz, dtype):
+        """Run an exported SavedModel / TFLite artifact as the forward
+        (the reference DetectMultiBackend role, models/common.py:456-814)."""
+        import json
+        from pathlib import Path
+
+        meta_path = (Path(w) / "yolov5_tpu_meta.json" if w.endswith("_saved_model")
+                     else Path(w + ".json"))
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        self.names = {int(k): v for k, v in meta.get("names", {}).items()} or {}
+        self.nc = int(meta.get("nc", max(self.names, default=79) + 1))
+        self.imgsz = int(meta.get("imgsz", imgsz))
+        self.dtype = dtype
+        self.model = None
+        self.variables = None
+        self.fused = True
+        self._forward_tta = None
+
+        if w.endswith("_saved_model"):
+            import tensorflow as tf
+
+            mod = tf.saved_model.load(w)
+            self.backend = "saved_model"
+
+            def fwd(_, images):
+                return jnp.asarray(mod.f(tf.constant(np.asarray(images))))
+        else:
+            import tensorflow as tf
+
+            interp = tf.lite.Interpreter(model_path=w)
+            interp.allocate_tensors()
+            inp = interp.get_input_details()[0]
+            outd = interp.get_output_details()[0]
+            self.backend = "tflite"
+
+            def fwd(_, images):
+                interp.set_tensor(inp["index"], np.asarray(images, np.uint8))
+                interp.invoke()
+                return jnp.asarray(interp.get_tensor(outd["index"]))
+
+        self._forward = fwd
+
     def warmup(self, batch_size=1):
         im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
-        self._forward(self.variables, im).block_until_ready()
+        jax.block_until_ready(self._forward(self.variables, im))
 
     def __call__(self, images_uint8, conf_thres=0.25, iou_thres=0.45,
                  max_det=1000, classes=None, agnostic=False, max_nms=2048,
                  augment=False):
         """images: (bs, s, s, 3) uint8 RGB (letterboxed). Returns Detections."""
+        if augment and self._forward_tta is None:
+            raise ValueError(f"TTA is not supported on the {self.backend} backend")
         fwd = self._forward_tta if augment else self._forward
         preds = fwd(self.variables, jnp.asarray(images_uint8))
         class_filter = None
         if classes is not None:
-            class_filter = np.zeros(self.model.nc, bool)
+            class_filter = np.zeros(self.nc, bool)
             class_filter[list(classes)] = True
             class_filter = jnp.asarray(class_filter)
         return non_max_suppression(

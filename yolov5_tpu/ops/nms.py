@@ -142,6 +142,7 @@ def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256):
         "max_nms",
         "nc",
         "impl",
+        "merge",
     ),
 )
 def non_max_suppression(
@@ -155,6 +156,7 @@ def non_max_suppression(
     nc: int | None = None,
     class_filter=None,
     impl: str = "tiled",
+    merge: bool = False,
 ) -> Detections:
     """Batched NMS on decoded predictions.
 
@@ -226,6 +228,18 @@ def non_max_suppression(
         keep = jax.vmap(
             lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32), iou_thres)
         )(nms_boxes, top_scores)  # (bs, K)
+
+    if merge:
+        # merge-NMS (reference utils/general.py:755-760): each kept box
+        # becomes the score-weighted average of all candidates with
+        # IoU > iou_thres against it (same class via offset boxes)
+        m_iou = box_iou(nms_boxes.astype(jnp.float32), nms_boxes.astype(jnp.float32))
+        # w[b, i, j]: score of candidate j if it overlaps kept box i
+        w = jnp.where(m_iou > iou_thres, top_scores[:, None, :], 0.0)  # (bs, K, K)
+        merged = jnp.einsum("bij,bjd->bid", w, top_boxes.astype(jnp.float32))
+        denom = w.sum(axis=2)[..., None]
+        top_boxes = jnp.where(keep[..., None], merged / jnp.maximum(denom, 1e-8),
+                              top_boxes.astype(jnp.float32)).astype(top_boxes.dtype)
 
     # Compact kept detections to the front, pad to max_det.
     kept_scores = jnp.where(keep, top_scores, 0.0)
