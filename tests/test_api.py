@@ -211,3 +211,33 @@ def test_tf_backend_detector(tmp_path):
     assert r_sm.shape == r_jax.shape == r_tl.shape
     if len(r_jax):
         np.testing.assert_allclose(r_sm[:, :4], r_jax[:, :4], atol=2.0)
+
+
+def test_ensemble_concat():
+    from yolov5_tpu.infer import Detector, Ensemble
+    from yolov5_tpu.ops.nms import detections_to_numpy
+
+    d1 = Detector("", cfg=TINY, imgsz=64, fuse=False)
+    d2 = Detector("", cfg=TINY, imgsz=64, fuse=False)
+    ens = Ensemble([d1, d2])
+    im = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    p1 = d1._forward(d1.variables, im)
+    pe = ens._forward(None, im)
+    assert pe.shape[1] == 2 * p1.shape[1]
+    out = ens(im, conf_thres=0.0001, max_nms=128, max_det=10)
+    assert out.boxes.shape == (1, 10, 4)
+
+
+def test_param_activations():
+    import jax
+    from yolov5_tpu.models.layers import AconC, FReLU, DWConvTranspose2d
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8, 4)), jnp.float32)
+    for mod in (AconC(), FReLU()):
+        v = mod.init(jax.random.PRNGKey(0), x, train=False)
+        y = mod.apply(v, x, train=False)
+        assert y.shape == x.shape
+    up = DWConvTranspose2d(4, 2, 2)
+    v = up.init(jax.random.PRNGKey(0), x)
+    y = up.apply(v, x)
+    assert y.shape[1] > x.shape[1]  # spatially upsampled

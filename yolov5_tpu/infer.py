@@ -21,6 +21,7 @@ from yolov5_tpu.data.sources import LoadImages, batched
 from yolov5_tpu.models import DetectionModel
 from yolov5_tpu.models.weights import fuse_conv_bn
 from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+from yolov5_tpu.utils.general import increment_path
 
 
 def scale_boxes_np(img1_shape, boxes, img0_shape):
@@ -35,7 +36,6 @@ def scale_boxes_np(img1_shape, boxes, img0_shape):
     out[:, [0, 2]] = out[:, [0, 2]].clip(0, img0_shape[1])
     out[:, [1, 3]] = out[:, [1, 3]].clip(0, img0_shape[0])
     return out
-from yolov5_tpu.utils.general import increment_path
 
 # a readable default palette (BGR) for annotation
 _PALETTE = [
@@ -69,6 +69,34 @@ def annotate(im, boxes, scores, classes, names, line_width=None):
         cv2.putText(im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
                     0, lw / 3, (255, 255, 255), tf, cv2.LINE_AA)
     return im
+
+
+class Ensemble:
+    """Multi-model inference ensemble (reference models/experimental.py:44-57):
+    decoded predictions of all members are concatenated before one NMS."""
+
+    def __init__(self, detectors):
+        self.detectors = list(detectors)
+        first = self.detectors[0]
+        self.names = first.names
+        self.nc = first.nc
+        self.imgsz = first.imgsz
+        self._forward_tta = None
+        self.backend = "ensemble"
+        self.variables = None
+
+    def _forward(self, _, images):
+        preds = [d._forward(d.variables, images) for d in self.detectors]
+        return jnp.concatenate(preds, axis=1)
+
+    __call__ = None  # filled below to share Detector.__call__
+
+
+def ensemble(weights_list, **kw):
+    """Build an Ensemble from several weights files (attempt_load with a
+    list, reference experimental.py:60-101)."""
+    dets = [Detector(w, **kw) for w in weights_list]
+    return Ensemble(dets)
 
 
 class Detector:
@@ -286,3 +314,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         print(f"done: {len(results)} images, {1000 * t_total / n:.1f} ms/img "
               f"(forward+NMS), results in {save_dir}")
     return results, save_dir
+
+
+# Ensemble shares Detector's NMS/postprocess entry point
+Ensemble.__call__ = Detector.__call__

@@ -347,6 +347,62 @@ class Expand(nn.Module):
         return x.reshape(b, h * g, w * g, c // (g * g))
 
 
+class DWConvTranspose2d(nn.Module):
+    """Depthwise transposed conv (reference models/common.py:106-112)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p1: int = 0
+    p2: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # transposed conv as input-dilated conv (flax ConvTranspose lacks
+        # grouped support): out = s*(in-1) + k - 2*p1
+        g = math.gcd(x.shape[-1], self.c2)
+        pad = self.k - 1 - self.p1
+        return nn.Conv(
+            self.c2, (self.k, self.k), strides=(1, 1),
+            input_dilation=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=g, dtype=self.dtype, name="conv",
+        )(x)
+
+
+class FReLU(nn.Module):
+    """Funnel activation: max(x, depthwise3x3+BN(x))
+    (reference utils/activations.py FReLU)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=c,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype, name="bn")(y)
+        return jnp.maximum(x, y)
+
+
+class AconC(nn.Module):
+    """ACON-C activation: (p1-p2)·x·σ(β(p1-p2)x) + p2·x with learnable
+    per-channel p1, p2, β (reference utils/activations.py AconC)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        p1 = self.param("p1", nn.initializers.normal(1.0), (c,))
+        p2 = self.param("p2", nn.initializers.normal(1.0), (c,))
+        beta = self.param("beta", nn.initializers.ones, (c,))
+        dpx = (p1 - p2) * x
+        return dpx * jax.nn.sigmoid(beta * dpx) + p2 * x
+
+
 class MaxPool(nn.Module):
     """Plain max pool (yolov3-tiny configs use torch nn.MaxPool2d rows)."""
 
