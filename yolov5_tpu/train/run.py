@@ -245,6 +245,10 @@ def run(
                 break
 
     print(f"done in {(time.time() - t_start) / 3600:.2f}h, best fitness {best_fitness:.4f}")
+    from yolov5_tpu.utils.plots import plot_labels, plot_results
+
+    plot_results(save_dir / "results.csv")
+    plot_labels(train_ds.labels, model.names, save_dir)
     callbacks.run("on_train_end")
     loggers.close()
     return best_fitness, results, save_dir
