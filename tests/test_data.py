@@ -140,3 +140,73 @@ def test_segment_masks_batch(tmp_path):
     b = next(iter(loader))
     assert b["masks"].shape == (2, 40, 40)
     assert b["masks"].max() >= 1  # at least one instance rasterized
+
+
+def test_rect_val_loader(tmp_path):
+    """Rect loader: aspect-sorted bucketed shapes, labels in-frame, all
+    images covered exactly once; evaluator consumes it."""
+    import cv2 as _cv2
+    from yolov5_tpu.data.dataset import Loader, YOLODataset, rect_batch_shapes
+
+    # non-square images of assorted aspect ratios
+    root = tmp_path / "rect"
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    sizes = [(200, 400), (400, 200), (300, 300), (160, 480), (480, 160)]
+    for i, (h, w) in enumerate(sizes):
+        im = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        _cv2.imwrite(str(root / "images" / "val" / f"{i}.jpg"), im)
+        (root / "labels" / "val" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+    ds = YOLODataset(str(root / "images" / "val"), img_size=320, augment=False)
+    loader = Loader(ds, batch_size=2, rect=True, max_labels=8, workers=1)
+    seen = []
+    for batch in loader:
+        h, w = batch["images"].shape[1:3]
+        assert h % 32 == 0 and w % 32 == 0
+        assert h <= 320 and w <= 320
+        real = batch["real"]
+        seen.extend(batch["indices"][:real].tolist())
+        # labels stay inside [0, 1] of the batch frame
+        t = batch["targets"][batch["valid"]]
+        assert (t[:, 1:] >= 0).all() and (t[:, 1:] <= 1).all()
+    assert sorted(seen) == list(range(5))
+
+    # a wide image's batch should be wider than tall
+    order, shapes = rect_batch_shapes(ds.shapes, 2, 320, 32, 0.5)
+    ars = ds.shapes[:, 0] / ds.shapes[:, 1]
+    first_batch = order[:2]
+    assert (ars[first_batch] <= 1).all()  # sorted: widest first
+    assert shapes[0][0] <= shapes[0][1]  # h <= w for wide images
+
+
+def test_rect_val_evaluate(tmp_path):
+    from yolov5_tpu.data.dataset import create_loader
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+    from yolov5_tpu.eval.evaluator import evaluate
+    from yolov5_tpu.models import DetectionModel
+
+    cfg_d = generate_shapes_dataset(tmp_path / "r2", n_images=6, img_size=160, seed=0)
+    TINY = {
+        "nc": 3, "depth_multiple": 0.33, "width_multiple": 0.125,
+        "anchors": [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+        "backbone": [
+            [-1, 1, "Conv", [64, 6, 2, 2]], [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "C3", [128]], [-1, 1, "Conv", [256, 3, 2]],
+            [-1, 1, "C3", [256]], [-1, 1, "Conv", [512, 3, 2]],
+            [-1, 1, "SPPF", [512, 5]],
+        ],
+        "head": [
+            [-1, 1, "Conv", [256, 1, 1]],
+            [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+            [[-1, 4], 1, "Concat", [1]], [-1, 1, "C3", [256, False]],
+            [[10, 7], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    m = DetectionModel(TINY, nc=3)
+    _, loader = create_loader(cfg_d["train"], img_size=160, batch_size=4,
+                              augment=False, workers=1, max_labels=8, rect=True)
+    out = evaluate(m, m.variables, loader, conf_thres=0.001, max_nms=128, max_det=10)
+    assert out["images"] == 6
+    assert np.isfinite(out["map"])

@@ -24,6 +24,8 @@ def parse_opt():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--half", action="store_true")
     p.add_argument("--save-json", default=None, help="write COCO-format detections json")
+    p.add_argument("--rect", action="store_true",
+                   help="aspect-ratio-bucketed batches (fewer pad pixels)")
     p.add_argument("--device", default="")
     return p.parse_args()
 
@@ -41,7 +43,7 @@ def main():
         batch_size=opt.batch_size, conf_thres=opt.conf_thres,
         iou_thres=opt.iou_thres, max_det=opt.max_det, task=opt.task,
         single_cls=opt.single_cls, workers=opt.workers, half=opt.half,
-        save_json=opt.save_json,
+        save_json=opt.save_json, rect=opt.rect,
     )
     print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
 

@@ -322,6 +322,41 @@ def rasterize_masks(segments, labels, hm, wm, img_px, overlap=True):
     return out
 
 
+def rect_batch_shapes(shapes, batch_size, img_size, stride=32, pad=0.5,
+                      buckets=None):
+    """Rect-val batching: sort by aspect ratio, give each batch the smallest
+    stride-aligned (h, w) that fits its images (reference
+    dataloaders.py:589-612). Returns (order, per-batch (h, w) list).
+
+    TPU twist: per-batch shapes are snapped to a bounded bucket set so the
+    jitted forward compiles a handful of shapes, not one per batch.
+    """
+    import math as _math
+
+    n = len(shapes)
+    ar = shapes[:, 0] / np.maximum(shapes[:, 1], 1)  # h / w
+    order = np.argsort(ar)
+    nb = _math.ceil(n / batch_size)
+    out_shapes = []
+    for bi in range(nb):
+        sel = order[bi * batch_size : (bi + 1) * batch_size]
+        ari = ar[sel]
+        mini, maxi = float(ari.min()), float(ari.max())
+        shape = [1.0, 1.0]
+        if maxi < 1:
+            shape = [maxi, 1.0]
+        elif mini > 1:
+            shape = [1.0, 1.0 / mini]
+        h = int(np.ceil(shape[0] * img_size / stride + pad) * stride)
+        w = int(np.ceil(shape[1] * img_size / stride + pad) * stride)
+        h, w = min(h, img_size), min(w, img_size)
+        if buckets:  # snap up to the nearest allowed bucket (bounded compiles)
+            h = min(b for b in buckets if b >= h)
+            w = min(b for b in buckets if b >= w)
+        out_shapes.append((h, w))
+    return order, out_shapes
+
+
 class Loader:
     """Threaded fixed-shape batch loader with per-epoch deterministic
     shuffling and host sharding."""
@@ -329,7 +364,7 @@ class Loader:
     def __init__(self, dataset: YOLODataset, batch_size=16, shuffle=False,
                  max_labels=128, workers=8, seed=0, shard=(0, 1),
                  drop_last=True, masks=False, mask_ratio=4, overlap=True,
-                 native=None):
+                 native=None, rect=False, stride=32, pad=0.5):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -343,6 +378,14 @@ class Loader:
         self.overlap = overlap
         self.epoch = 0
         self.weighted_indices = None  # set per-epoch for --image-weights
+        # rect val: aspect-sorted batches, bucketed per-batch shapes
+        self.rect = rect and not dataset.augment
+        self.stride = stride
+        self.pad = pad
+        self._rect_plan = None
+        if self.rect:
+            self.shuffle = False
+            self.drop_last = False
         # native C++ batch decode+letterbox fast path: val/inference loading
         # only (no augmentation), jpeg sources
         self.native = False
@@ -358,6 +401,8 @@ class Loader:
                 self.native = False
 
     def __len__(self):
+        if self.rect:
+            return math.ceil(len(self.ds) / self.bs)
         n = len(self.weighted_indices) if self.weighted_indices is not None else len(
             self._indices(0))
         return n // self.bs if self.drop_last else math.ceil(n / self.bs)
@@ -447,16 +492,72 @@ class Loader:
                 valid[b, :n] = True
         return {"images": images, "targets": targets, "valid": valid}
 
+    def _rect_batch(self, chunk, hw):
+        """Load + letterbox a batch to the rect shape (h, w); labels
+        re-normalized to that frame."""
+        from yolov5_tpu.data.letterbox import letterbox as _lb
+
+        h, w = hw
+        bs = len(chunk)
+        images = np.zeros((bs, h, w, 3), np.uint8)
+        targets = np.zeros((bs, self.max_labels, 5), np.float32)
+        valid = np.zeros((bs, self.max_labels), bool)
+        for b, i in enumerate(chunk):
+            im, (h0, w0), (rh, rw) = self.ds.load_image(int(i))
+            im, ratio, (dw, dh) = _lb(im, (h, w), auto=False, scaleup=False)
+            images[b] = im[..., ::-1]
+            lab = self.ds.labels[int(i)]
+            n = min(len(lab), self.max_labels)
+            if n:
+                t = lab[:n].copy()
+                sw, sh = ratio[0] * rw, ratio[1] * rh  # drawn image size in px
+                t[:, 1] = (t[:, 1] * sw + dw) / w
+                t[:, 2] = (t[:, 2] * sh + dh) / h
+                t[:, 3] = t[:, 3] * sw / w
+                t[:, 4] = t[:, 4] * sh / h
+                targets[b, :n] = t
+                valid[b, :n] = True
+        return {"images": images, "targets": targets, "valid": valid}
+
+    def _rect_iter(self):
+        if self._rect_plan is None:
+            s = self.ds.img_size
+            buckets = sorted(set(
+                list(range(self.stride * 4, s, self.stride * 2)) + [s]))
+            self._rect_plan = rect_batch_shapes(
+                self.ds.shapes, self.bs, s, self.stride, self.pad,
+                buckets=tuple(buckets),
+            )
+        order, shapes = self._rect_plan
+        for bi, hw in enumerate(shapes):
+            chunk = list(order[bi * self.bs : (bi + 1) * self.bs])
+            real = len(chunk)
+            while len(chunk) < self.bs:
+                chunk.append(chunk[-1])
+            batch = self._rect_batch(chunk, hw)
+            if real < self.bs:  # padded duplicates must not count as images
+                batch["valid"][real:] = False
+                batch["targets"][real:] = 0
+            batch["real"] = real
+            batch["paths"] = [self.ds.im_files[int(i)] for i in chunk]
+            batch["indices"] = np.asarray(chunk, np.int64)
+            yield batch
+
     def __iter__(self):
+        if self.rect:
+            yield from self._rect_iter()
+            return
         idx = self._indices(self.epoch)
         nb = len(self)
         base_seed = self.seed * 100003 + self.epoch * 1009
         if self.native:
             for bi in range(nb):
                 chunk = list(idx[bi * self.bs : (bi + 1) * self.bs])
+                real = len(chunk)
                 while len(chunk) < self.bs:
                     chunk.append(chunk[-1])
                 batch = self._native_batch(chunk)
+                batch["real"] = real
                 batch["paths"] = [self.ds.im_files[int(i)] for i in chunk]
                 batch["indices"] = np.asarray(chunk, np.int64)
                 yield batch
@@ -470,10 +571,12 @@ class Loader:
                 chunk = idx[bi * self.bs : (bi + 1) * self.bs]
                 samples = list(pool.map(fetch, chunk))
                 pad_chunk = list(chunk)
+                real = len(samples)
                 while len(samples) < self.bs:  # pad final partial batch
                     samples.append(samples[-1])
                     pad_chunk.append(pad_chunk[-1])
                 batch = self._collate(samples)
+                batch["real"] = real
                 batch["paths"] = [self.ds.im_files[int(i)] for i in pad_chunk]
                 batch["indices"] = np.asarray(pad_chunk, np.int64)
                 yield batch
@@ -482,7 +585,8 @@ class Loader:
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
-                  cache=None, device_aug=False, native=None):
+                  cache=None, device_aug=False, native=None, rect=False,
+                  stride=32, pad=0.5):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164)."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
@@ -492,5 +596,6 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                     shuffle=augment if shuffle is None else shuffle,
                     max_labels=max_labels, workers=workers, seed=seed,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
-                    overlap=overlap, native=native)
+                    overlap=overlap, native=native, rect=rect, stride=stride,
+                    pad=pad)
     return ds, loader

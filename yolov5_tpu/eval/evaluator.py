@@ -87,18 +87,19 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 
         targets = batch["targets"]
         valid = batch["valid"]
-        bs = images.shape[0]
+        bs = int(batch.get("real", images.shape[0]))  # skip pad duplicates
         n_images += bs
         for b in range(bs):
             pred = dets[b]  # (n, 6) xyxy+conf+cls in letterbox px
             lab = targets[b][valid[b]]
             # labels: normalized xywh -> letterbox-space xyxy px
+            bh, bw = images.shape[1], images.shape[2]
             if len(lab):
                 xyxy = np.empty((len(lab), 4), np.float32)
-                xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * img_size
-                xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * img_size
-                xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * img_size
-                xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * img_size
+                xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * bw
+                xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * bh
+                xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * bw
+                xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * bh
                 labels = np.concatenate([lab[:, 0:1], xyxy], axis=1)
             else:
                 labels = np.zeros((0, 5), np.float32)
@@ -111,7 +112,7 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                 stem = Path(batch["paths"][b]).stem
                 image_id = int(stem) if stem.isnumeric() else stem
                 native = shapes[idx]
-                nb_ = _scale_to_native(pred[:, :4], (img_size, img_size), native)
+                nb_ = _scale_to_native(pred[:, :4], (bh, bw), native)
                 for (x1, y1, x2, y2), row in zip(nb_, pred):
                     cid = int(row[5])
                     if coco91 and cid < len(COCO80_TO_COCO91):
@@ -177,7 +178,7 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
         workers=8, half=False, verbose=True, task="val", save_json=None,
-        coco91=None):
+        coco91=None, rect=False):
     """Standalone validation entry (reference val.py:112-440)."""
     import jax.numpy as jnp
 
@@ -191,7 +192,8 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
     split = data_dict.get(task) or data_dict.get("val") or data_dict["train"]
     _, loader = create_loader(split, img_size=imgsz, batch_size=batch_size,
                               augment=False, shuffle=False, workers=workers,
-                              single_cls=single_cls)
+                              single_cls=single_cls, rect=rect,
+                              stride=max(det.model.stride))
     if coco91 is None:  # auto: coco remap when the dataset looks like COCO
         coco91 = "coco" in str(data_dict.get("yaml_file", "")).lower()
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
