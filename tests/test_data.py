@@ -210,3 +210,27 @@ def test_rect_val_evaluate(tmp_path):
     out = evaluate(m, m.variables, loader, conf_thres=0.001, max_nms=128, max_det=10)
     assert out["images"] == 6
     assert np.isfinite(out["map"])
+
+
+def test_load_streams_from_video(tmp_path):
+    """LoadStreams against a local video file (stands in for rtsp/webcam)."""
+    import cv2 as _cv2
+    from yolov5_tpu.data.sources import LoadStreams
+
+    path = str(tmp_path / "v.mp4")
+    w = _cv2.VideoWriter(path, _cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        w.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    w.release()
+
+    streams = LoadStreams([path], img_size=64)
+    got = 0
+    for src, im, im0, meta in streams:
+        assert im.shape == (64, 64, 3)
+        assert im0.shape == (48, 64, 3)
+        got += 1
+        if got >= 3:
+            break
+    streams.close()
+    assert got == 3

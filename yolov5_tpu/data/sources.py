@@ -73,6 +73,72 @@ class LoadImages:
             cap.release()
 
 
+class LoadStreams:
+    """Multi-stream source (webcam index / RTSP / HTTP video URLs) with one
+    reader thread per source (reference utils/dataloaders.py:374-466).
+    Yields the latest frame of every stream, letterboxed."""
+
+    def __init__(self, sources, img_size=640, stride=32, vid_stride=1):
+        import threading
+
+        import cv2
+
+        if isinstance(sources, str):
+            sources = [s.strip() for s in sources.split(",") if s.strip()]
+        self.sources = sources
+        self.img_size = img_size
+        self.stride = stride
+        self.vid_stride = vid_stride
+        self.frames = [None] * len(sources)
+        self.running = True
+        self.caps = []
+        self.threads = []
+        for i, s in enumerate(sources):
+            src = int(s) if str(s).isnumeric() else s
+            cap = cv2.VideoCapture(src)
+            if not cap.isOpened():
+                raise ConnectionError(f"failed to open stream {s}")
+            ok, frame = cap.read()
+            if not ok:
+                raise ConnectionError(f"failed to read from stream {s}")
+            self.frames[i] = frame
+            self.caps.append(cap)
+            t = threading.Thread(target=self._reader, args=(i,), daemon=True)
+            t.start()
+            self.threads.append(t)
+
+    def _reader(self, i):
+        n = 0
+        while self.running and self.caps[i].isOpened():
+            n += 1
+            self.caps[i].grab()
+            if n % self.vid_stride == 0:
+                ok, frame = self.caps[i].retrieve()
+                if ok:
+                    self.frames[i] = frame
+                else:  # signal loss: try to reopen
+                    self.caps[i].open(self.sources[i])
+
+    def close(self):
+        self.running = False
+        for c in self.caps:
+            c.release()
+
+    def __iter__(self):
+        import time as _t
+
+        while self.running:
+            for i, s in enumerate(self.sources):
+                im0 = self.frames[i]
+                if im0 is None:
+                    continue
+                im, ratio, pad = letterbox(im0, self.img_size, auto=False,
+                                           stride=self.stride)
+                yield str(s), im[..., ::-1].copy(), im0.copy(), {
+                    "ratio": ratio, "pad": pad, "stream": i}
+            _t.sleep(0.0)
+
+
 def batched(source: LoadImages, batch_size=1):
     """Group source items into fixed-size batches (pad by repeating last)."""
     buf = []
