@@ -597,5 +597,9 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                     max_labels=max_labels, workers=workers, seed=seed,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
                     overlap=overlap, native=native, rect=rect, stride=stride,
-                    pad=pad)
+                    pad=pad,
+                    # val/eval loaders must see every image: final partial
+                    # batches are padded (and excluded from scoring via
+                    # the 'real' count) instead of dropped
+                    drop_last=augment)
     return ds, loader

@@ -54,7 +54,7 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                                    iou_thres=iou_thres, multi_label=True,
                                    max_det=max_det, nc=model.nc)
         rows = detections_to_numpy(dets)
-        bs = images.shape[0]
+        bs = int(batch.get("real", images.shape[0]))  # skip pad duplicates
         n_images += bs
         hm, wm = proto.shape[1], proto.shape[2]
         for b in range(bs):
@@ -93,6 +93,8 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             stats_mask.append((correct_mask, pred[:, 4], pred[:, 5], labels[:, 0]))
 
     def summarize(stats):
+        if not stats:
+            return {"p": 0.0, "r": 0.0, "map50": 0.0, "map": 0.0}
         tp = np.concatenate([x[0] for x in stats])
         conf = np.concatenate([x[1] for x in stats])
         cls = np.concatenate([x[2] for x in stats])
