@@ -121,6 +121,8 @@ class LoadStreams:
 
     def close(self):
         self.running = False
+        for t in self.threads:  # join before releasing: a reader inside
+            t.join(timeout=2.0)  # cap.grab() at teardown segfaults cv2
         for c in self.caps:
             c.release()
 
