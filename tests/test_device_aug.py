@@ -109,3 +109,98 @@ def test_device_augment_jits(rng):
     assert out["images"].shape == batch["images"].shape
     assert out["images"].dtype == jnp.uint8
     assert np.isfinite(np.asarray(out["targets"])).all()
+
+
+def test_mosaic_device_composition(rng):
+    """Known tile sizes + fixed key: content lands per the quadrant formula,
+    labels stay valid, and zero-geometry warp crops the center window."""
+    from yolov5_tpu.data.device_aug import mosaic_device
+
+    s = 64
+    bs = 2
+    tiles = np.full((bs, 4, s, s, 3), 114, np.uint8)
+    tile_hw = np.zeros((bs, 4, 2), np.int32)
+    targets4 = np.zeros((bs, 4, 4, 5), np.float32)
+    valid4 = np.zeros((bs, 4, 4), bool)
+    colors = [50, 100, 150, 200]
+    for b in range(bs):
+        for k in range(4):
+            h, w = 48, 56
+            tiles[b, k, :h, :w] = colors[k]
+            tile_hw[b, k] = (h, w)
+            targets4[b, k, 0] = [k, 0.5, 0.5, 0.5, 0.5]
+            valid4[b, k, 0] = True
+
+    hyp = {"degrees": 0.0, "translate": 0.0, "scale": 0.0, "shear": 0.0,
+           "perspective": 0.0}
+    images, targets, valid = jax.jit(
+        lambda t, hw, t4, v4, k: mosaic_device(t, hw, t4, v4, k, hyp)
+    )(jnp.asarray(tiles), jnp.asarray(tile_hw), jnp.asarray(targets4),
+      jnp.asarray(valid4), jax.random.PRNGKey(3))
+    images = np.asarray(images)
+    targets = np.asarray(targets)
+    valid = np.asarray(valid)
+    assert images.shape == (bs, s, s, 3)
+    assert targets.shape == (bs, 16, 5)
+    # with zero geometry the crop is the center s-window of the 2s canvas,
+    # which contains the mosaic center -> all four colors appear somewhere
+    # across the batch, and background gray fills the rest
+    vals = set(np.unique(images))
+    assert 114 in vals
+    assert len(vals.intersection(set(colors))) >= 2
+    # surviving labels are inside [0, 1] with sane sizes
+    t = targets[valid]
+    if len(t):
+        assert (t[:, 1:3] >= -1e-5).all() and (t[:, 1:3] <= 1 + 1e-5).all()
+        assert (t[:, 3:5] > 0).all() and (t[:, 3:5] <= 1 + 1e-5).all()
+
+
+def test_mosaic_device_in_train_step(rng):
+    """Full train step consuming raw tile batches compiles and learns."""
+    from yolov5_tpu.models import DetectionModel
+    from yolov5_tpu.train.loss import ComputeLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+
+    TINY = {
+        "nc": 3, "depth_multiple": 0.33, "width_multiple": 0.125,
+        "anchors": [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+        "backbone": [
+            [-1, 1, "Conv", [64, 6, 2, 2]], [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "C3", [128]], [-1, 1, "Conv", [256, 3, 2]],
+            [-1, 1, "C3", [256]], [-1, 1, "Conv", [512, 3, 2]],
+            [-1, 1, "SPPF", [512, 5]],
+        ],
+        "head": [
+            [-1, 1, "Conv", [256, 1, 1]],
+            [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+            [[-1, 4], 1, "Concat", [1]], [-1, 1, "C3", [256, False]],
+            [[10, 7], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    m = DetectionModel(TINY)
+    hyp = scale_hyp({"box": 0.05, "obj": 1.0, "cls": 0.5, "anchor_t": 4.0,
+                     "fl_gamma": 0.0, "lr0": 0.01, "lrf": 1.0, "momentum": 0.9,
+                     "weight_decay": 0.0, "warmup_epochs": 0.0,
+                     "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+                     "degrees": 0.0, "translate": 0.1, "scale": 0.3,
+                     "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+                     "fliplr": 0.5, "mosaic": 1.0},
+                    nl=2, nc=3, imgsz=64)
+    loss_fn = ComputeLoss(m.anchors_per_stride, 3, hyp)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=2, batch_size=64)
+    state = init_train_state(m, tx)
+    step = make_train_step(m, loss_fn, tx, device_aug_hyp=hyp)
+
+    bs, s, M = 2, 64, 4
+    tiles = rng.integers(0, 255, (bs, 4, s, s, 3), dtype=np.uint8)
+    tile_hw = np.full((bs, 4, 2), (48, 56), np.int32)
+    targets4 = np.zeros((bs, 4, M, 5), np.float32)
+    targets4[:, :, 0] = [1, 0.5, 0.5, 0.5, 0.5]
+    valid4 = np.zeros((bs, 4, M), bool)
+    valid4[:, :, 0] = True
+    batch = {"tiles": jnp.asarray(tiles), "tile_hw": jnp.asarray(tile_hw),
+             "targets4": jnp.asarray(targets4), "valid4": jnp.asarray(valid4)}
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total"]))

@@ -364,7 +364,8 @@ class Loader:
     def __init__(self, dataset: YOLODataset, batch_size=16, shuffle=False,
                  max_labels=128, workers=8, seed=0, shard=(0, 1),
                  drop_last=True, masks=False, mask_ratio=4, overlap=True,
-                 native=None, rect=False, stride=32, pad=0.5):
+                 native=None, rect=False, stride=32, pad=0.5,
+                 mosaic_tiles=False):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -379,6 +380,7 @@ class Loader:
         self.epoch = 0
         self.weighted_indices = None  # set per-epoch for --image-weights
         # rect val: aspect-sorted batches, bucketed per-batch shapes
+        self.mosaic_tiles = mosaic_tiles  # raw 4-tile batches (device mosaic)
         self.rect = rect and not dataset.augment
         self.stride = stride
         self.pad = pad
@@ -492,6 +494,30 @@ class Loader:
                 valid[b, :n] = True
         return {"images": images, "targets": targets, "valid": valid}
 
+    def _tiles_batch(self, chunk, rng):
+        """Raw 4-tile batches for on-device mosaic: per slot, the indexed
+        image + 3 random partners, each resized long-side=s into the top-left
+        of an s x s buffer. Labels stay normalized to each tile's content."""
+        s = self.ds.img_size
+        bs = len(chunk)
+        tiles = np.full((bs, 4, s, s, 3), 114, np.uint8)
+        tile_hw = np.zeros((bs, 4, 2), np.int32)
+        targets4 = np.zeros((bs, 4, self.max_labels, 5), np.float32)
+        valid4 = np.zeros((bs, 4, self.max_labels), bool)
+        for b, i in enumerate(chunk):
+            idxs = [int(i)] + list(rng.choice(len(self.ds), 3))
+            for k, idx in enumerate(idxs):
+                im, _, (h, w) = self.ds.load_image(idx)
+                tiles[b, k, :h, :w] = im[..., ::-1]
+                tile_hw[b, k] = (h, w)
+                lab = self.ds.labels[idx]
+                n = min(len(lab), self.max_labels)
+                if n:
+                    targets4[b, k, :n] = lab[:n]
+                    valid4[b, k, :n] = True
+        return {"tiles": tiles, "tile_hw": tile_hw,
+                "targets4": targets4, "valid4": valid4}
+
     def _rect_batch(self, chunk, hw):
         """Load + letterbox a batch to the rect shape (h, w); labels
         re-normalized to that frame."""
@@ -550,6 +576,14 @@ class Loader:
         idx = self._indices(self.epoch)
         nb = len(self)
         base_seed = self.seed * 100003 + self.epoch * 1009
+        if self.mosaic_tiles:
+            rng = np.random.default_rng(base_seed)
+            for bi in range(nb):
+                chunk = list(idx[bi * self.bs : (bi + 1) * self.bs])
+                while len(chunk) < self.bs:
+                    chunk.append(chunk[-1])
+                yield self._tiles_batch(chunk, rng)
+            return
         if self.native:
             for bi in range(nb):
                 chunk = list(idx[bi * self.bs : (bi + 1) * self.bs])
@@ -586,7 +620,7 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
                   cache=None, device_aug=False, native=None, rect=False,
-                  stride=32, pad=0.5):
+                  stride=32, pad=0.5, mosaic_tiles=False):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164)."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
@@ -597,7 +631,7 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                     max_labels=max_labels, workers=workers, seed=seed,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
                     overlap=overlap, native=native, rect=rect, stride=stride,
-                    pad=pad,
+                    pad=pad, mosaic_tiles=mosaic_tiles,
                     # val/eval loaders must see every image: final partial
                     # batches are padded (and excluded from scoring via
                     # the 'real' count) instead of dropped

@@ -124,11 +124,14 @@ def run(
 
     # data
     rank, world = jax.process_index(), jax.process_count()
+    # with device_aug + mosaic the host only decodes raw 4-tile batches;
+    # composition, geometry, HSV and flips all run inside the jitted step
+    device_mosaic = device_aug and hyp.get("mosaic", 0) > 0
     train_ds, train_loader = create_loader(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, cache=cache,
-        device_aug=device_aug,
+        device_aug=device_aug, mosaic_tiles=device_mosaic,
     )
     if not noautoanchor and not resume and not weights:
         from yolov5_tpu.utils.autoanchor import check_anchors
@@ -195,8 +198,10 @@ def run(
                 gs = max(model.stride)
                 scales = [0.75, 1.0, 1.25]
                 s_ep = int(round(imgsz * scales[epoch % len(scales)] / gs) * gs)
+            batch_keys = (("tiles", "tile_hw", "targets4", "valid4")
+                          if device_mosaic else ("images", "targets", "valid"))
             for i, batch in enumerate(train_loader):
-                batch = {k: batch[k] for k in ("images", "targets", "valid")}
+                batch = {k: batch[k] for k in batch_keys}
                 if multi_scale and s_ep != imgsz:
                     ims = batch["images"]
                     batch["images"] = np.stack(

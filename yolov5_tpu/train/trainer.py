@@ -68,10 +68,21 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
 
     def step_fn(state: TrainState, batch):
         if device_aug_hyp is not None:
-            from yolov5_tpu.data.device_aug import device_augment
+            from yolov5_tpu.data.device_aug import device_augment, mosaic_device
 
             key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-            batch = device_augment(batch, key, device_aug_hyp)
+            k_mosaic, k_aug = jax.random.split(key)
+            hyp2 = dict(device_aug_hyp)
+            if "tiles" in batch:
+                # on-device mosaic composes + applies the geometry; the
+                # generic pass below must not warp a second time
+                images, targets, valid = mosaic_device(
+                    batch["tiles"], batch["tile_hw"], batch["targets4"],
+                    batch["valid4"], k_mosaic, hyp2)
+                batch = {"images": images, "targets": targets, "valid": valid}
+                for k in ("degrees", "translate", "scale", "shear", "perspective"):
+                    hyp2[k] = 0.0
+            batch = device_augment(batch, k_aug, hyp2)
         # normalize on device: uint8 batches cross PCIe/tunnel 4x smaller
         # (reference divides by 255 after H2D too, train.py:379)
         images = batch["images"]
