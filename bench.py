@@ -70,10 +70,14 @@ def main(batch=32, imgsz=640, k=20):
     # device-bound rate: K forwards inside one jit (no per-call dispatch)
     K = 20
 
+    # Reduce over the FULL output so XLA cannot dead-code-eliminate any
+    # branch of the graph (a single-element reduction would let it drop the
+    # P4/P5 heads); the input perturbation defeats loop-invariant hoisting.
     @jax.jit
     def rep(v, x):
         def body(i, acc):
-            return acc + forward(v, x + i * jnp.bfloat16(1e-6))[0, 0, 0]
+            out = forward(v, x + i * jnp.bfloat16(1e-6))
+            return acc + jnp.sum(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 
     _ = float(rep(fused_vars, images))  # compile

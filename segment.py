@@ -65,7 +65,8 @@ def main():
 
         data = check_dataset(opt.data)
         payload, meta = load_checkpoint(opt.weights)
-        model = SegmentationModel(meta.get("cfg", "yolov5n-seg"))
+        model = SegmentationModel(meta.get("cfg", "yolov5n-seg"),
+                                  anchors=meta.get("anchors"))
         variables = variables_from_checkpoint(payload)
         _, loader = create_loader(data["val"], img_size=opt.imgsz,
                                   batch_size=opt.batch_size, augment=False,

@@ -111,7 +111,9 @@ def random_perspective(im, targets=(), segments=(), degrees=10, translate=0.1,
             new = np.stack((x.min(1), y.min(1), x.max(1), y.max(1)), axis=1)
             new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
             new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-            keep = box_candidates(targets[:, 1:5].T, new.T, area_thr=0.1)
+            # pre-warp boxes scaled by the zoom factor so the area-ratio
+            # filter compares like with like (reference augmentations.py:193)
+            keep = box_candidates(targets[:, 1:5].T * s, new.T, area_thr=0.1)
         targets = targets[keep]
         targets[:, 1:5] = new[keep]
         new_segments = [s_ for s_, k in zip(new_segments, keep) if k] if new_segments else []

@@ -93,8 +93,11 @@ class LoadStreams:
         self.running = True
         self.caps = []
         self.threads = []
-        for i, s in enumerate(sources):
-            src = int(s) if str(s).isnumeric() else s
+        # converted sources (webcam '0' -> device index 0) are kept so signal-
+        # loss reopen uses the same form, not the raw string as a filename
+        self.cv_sources = [int(s) if str(s).isnumeric() else s for s in sources]
+        for i, src in enumerate(self.cv_sources):
+            s = sources[i]
             cap = cv2.VideoCapture(src)
             if not cap.isOpened():
                 raise ConnectionError(f"failed to open stream {s}")
@@ -117,7 +120,7 @@ class LoadStreams:
                 if ok:
                     self.frames[i] = frame
                 else:  # signal loss: try to reopen
-                    self.caps[i].open(self.sources[i])
+                    self.caps[i].open(self.cv_sources[i])
 
     def close(self):
         self.running = False

@@ -119,7 +119,9 @@ class Detector:
 
             payload, meta = load_checkpoint(weights)
             cfg = meta.get("cfg", cfg)
-            self.model = DetectionModel(cfg, dtype=dtype)
+            # meta anchors win over cfg's: autoanchor may have evolved them
+            self.model = DetectionModel(cfg, dtype=dtype,
+                                        anchors=meta.get("anchors"))
             self.model.variables = variables_from_checkpoint(payload, prefer_ema=True)
             names = {int(k): v for k, v in meta.get("names", {}).items()} or None
         elif str(weights).endswith(".pt"):

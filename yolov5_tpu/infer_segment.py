@@ -30,7 +30,7 @@ def run(weights="", source="", cfg="yolov5n-seg", imgsz=640, conf_thres=0.25,
         from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
 
         payload, meta = load_checkpoint(weights)
-        model = SegmentationModel(meta.get("cfg", cfg))
+        model = SegmentationModel(meta.get("cfg", cfg), anchors=meta.get("anchors"))
         variables = variables_from_checkpoint(payload)
         names = {int(k): v for k, v in meta.get("names", {}).items()} or model.names
     else:

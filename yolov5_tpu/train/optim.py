@@ -158,8 +158,19 @@ def build_optimizer(params, hyp, epochs, steps_per_epoch, batch_size,
         # nothing leaks through weight decay)
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), freeze_mask(params, freeze)))
     if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        # accumulate ramps 1 -> nbs/bs over warmup (reference train.py:338,
+        # 382-390), indexed here by real optimizer updates
+        ramp = _accumulate_ramp(accumulate, nw)
+        tx = optax.MultiSteps(tx, every_k_schedule=ramp)
     return tx
+
+
+def _accumulate_ramp(accumulate, nw_updates):
+    def k(gradient_step):
+        frac = gradient_step / max(nw_updates, 1)
+        return jnp.clip(jnp.round(1 + (accumulate - 1) * frac),
+                        1, accumulate).astype(jnp.int32)
+    return k
 
 
 class EMAState(NamedTuple):
@@ -180,10 +191,18 @@ def ema_init(params, batch_stats):
                     jnp.zeros((), jnp.int32))
 
 
-def ema_update(state: EMAState, params, batch_stats, decay=0.9999, tau=2000.0):
-    """d = decay * (1 - exp(-updates/tau)); ema = d*ema + (1-d)*new."""
-    updates = state.updates + 1
+def ema_update(state: EMAState, params, batch_stats, decay=0.9999, tau=2000.0,
+               tick=None):
+    """d = decay * (1 - exp(-updates/tau)); ema = d*ema + (1-d)*new.
+
+    `tick` (traced bool) gates the blend to real optimizer updates: under
+    gradient accumulation the reference's ModelEMA ticks once per optimizer
+    step (train.py:419-421), not once per micro-batch."""
+    if tick is None:
+        tick = jnp.asarray(True)
+    updates = state.updates + tick.astype(jnp.int32)
     d = decay * (1.0 - jnp.exp(-updates.astype(jnp.float32) / tau))
+    d = jnp.where(tick, d, 1.0)  # d=1: EMA unchanged on micro-batches
     blend = lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d)
     return EMAState(
         jax.tree.map(blend, state.params, params),

@@ -27,13 +27,34 @@ from yolov5_tpu.train.optim import build_optimizer
 from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
 from yolov5_tpu.utils.callbacks import Callbacks
 from yolov5_tpu.utils.checkpoint import (
+    anchors_from_yaml,
+    anchors_to_yaml,
     load_checkpoint,
+    restore_train_state,
     save_checkpoint,
     variables_from_checkpoint,
 )
 from yolov5_tpu.utils.general import check_dataset, check_img_size, increment_path, init_seeds
 from yolov5_tpu.utils.hyp import load_hyp
 from yolov5_tpu.utils.loggers import Loggers
+
+
+def find_resume_ckpt(resume, project="runs/train"):
+    """Resolve --resume into a checkpoint path: True/'auto' -> most recent
+    last.ckpt under `project`; a run dir -> its last.ckpt; else the path
+    itself (reference get_latest_run, train.py:624)."""
+    if resume is True or str(resume).lower() in ("auto", "true", "latest"):
+        cands = sorted(Path(project).glob("**/last.ckpt"),
+                       key=lambda p: p.stat().st_mtime)
+        if not cands:
+            raise FileNotFoundError(f"--resume: no last.ckpt found under {project}")
+        return cands[-1]
+    p = Path(resume)
+    if p.is_dir():
+        p = p / "last.ckpt"
+    if not p.exists():
+        raise FileNotFoundError(f"--resume checkpoint not found: {p}")
+    return p
 
 
 class EarlyStopper:
@@ -84,17 +105,55 @@ def run(
     cache=None,
     noautoanchor=False,
     device_aug=False,
+    _resume_ckpt=None,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
     callbacks = callbacks or Callbacks()
+    if resume and _resume_ckpt is None:
+        # rehydrate the interrupted run's own opt.yaml/hyp.yaml so the
+        # continuation is config-identical (reference train.py:624-636
+        # replaces opt wholesale from the run dir)
+        import yaml
+
+        ckpt_path = find_resume_ckpt(resume, project)
+        run_dir = ckpt_path.parent
+        opt_file, hyp_file = run_dir / "opt.yaml", run_dir / "hyp.yaml"
+        if opt_file.exists():
+            saved = yaml.safe_load(opt_file.read_text()) or {}
+            saved.pop("resume", None)
+            if hyp_file.exists():
+                saved["hyp"] = str(hyp_file)
+            print(f"resuming {run_dir} from epoch {saved.get('epochs', '?')} config")
+            return run(**saved, _resume_ckpt=str(ckpt_path),
+                       save_dir=str(run_dir), callbacks=callbacks)
+        _resume_ckpt = str(ckpt_path)  # pre-opt.yaml checkpoint: caller args
+        save_dir = save_dir or str(run_dir)
     init_seeds(seed)
     data_dict = check_dataset(data)
     nc = 1 if single_cls else int(data_dict["nc"])
+    opt_dict = {
+        k: (str(v) if isinstance(v, Path) else v) for k, v in dict(
+            data=data, cfg=cfg, hyp=hyp, weights=weights, epochs=epochs,
+            batch_size=batch_size, imgsz=imgsz, optimizer=optimizer,
+            cos_lr=cos_lr, seed=seed, workers=workers, max_labels=max_labels,
+            single_cls=single_cls, patience=patience, project=project,
+            name=name, nosave=nosave, noval=noval, save_period=save_period,
+            device_count=device_count, dtype=dtype,
+            val_batch_size=val_batch_size, freeze=freeze,
+            multi_scale=multi_scale, image_weights=image_weights, cache=cache,
+            noautoanchor=noautoanchor, device_aug=device_aug,
+        ).items()
+    }
     hyp = load_hyp(hyp)
 
     save_dir = Path(save_dir) if save_dir else increment_path(
         Path(project) / name, exist_ok=exist_ok)
     save_dir.mkdir(parents=True, exist_ok=True)
+    # persist run config for --resume rehydration (reference train.py:169-171)
+    import yaml
+
+    (save_dir / "hyp.yaml").write_text(yaml.safe_dump(hyp, sort_keys=False))
+    (save_dir / "opt.yaml").write_text(yaml.safe_dump(opt_dict, sort_keys=False))
     loggers = Loggers(save_dir)
     last, best = save_dir / "last.ckpt", save_dir / "best.ckpt"
 
@@ -105,11 +164,24 @@ def run(
     imgsz = check_img_size(imgsz, s=max(model.stride))
     start_epoch = 0
     best_fitness = 0.0
-    if resume:
-        payload, meta = load_checkpoint(resume)
-        model.variables = {"params": payload["params"], "batch_stats": payload["batch_stats"]}
+    resume_payload = None
+    if _resume_ckpt:
+        resume_payload, meta = load_checkpoint(_resume_ckpt)
+        model.variables = {"params": resume_payload["params"],
+                           "batch_stats": resume_payload["batch_stats"]}
+        if meta.get("anchors"):
+            # restore autoanchor-evolved anchors: the loss/decode must match
+            # what the weights were trained with
+            model.anchors = anchors_from_yaml(meta["anchors"])
+            model.cfg["anchors"] = meta["anchors"]
         start_epoch = int(meta.get("epoch", -1)) + 1
         best_fitness = float(meta.get("best_fitness", 0.0))
+        if epochs <= start_epoch:
+            # already past the horizon: fine-tune for `epochs` more
+            # (reference smart_resume, torch_utils.py:305-309)
+            print(f"{_resume_ckpt} has trained {start_epoch} epochs; "
+                  f"fine-tuning for {epochs} more")
+            epochs += start_epoch
     elif weights:
         if str(weights).endswith(".pt"):  # torch reference checkpoint
             from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
@@ -133,13 +205,15 @@ def run(
         shard=(rank, world), single_cls=single_cls, cache=cache,
         device_aug=device_aug, mosaic_tiles=device_mosaic,
     )
-    if not noautoanchor and not resume and not weights:
+    if not noautoanchor and not _resume_ckpt and not weights:
         from yolov5_tpu.utils.autoanchor import check_anchors
 
         new_anchors = check_anchors(train_ds, model, thr=hyp.get("anchor_t", 4.0),
                                     imgsz=imgsz)
         if new_anchors != model.anchors:
             model.anchors = new_anchors
+            # keep cfg in sync so checkpoints rebuild with evolved anchors
+            model.cfg["anchors"] = anchors_to_yaml(new_anchors)
             print("autoanchor: anchors updated")
     val_loader = None
     if data_dict.get("val") and not noval:
@@ -150,6 +224,12 @@ def run(
         )
 
     nb = len(train_loader)
+    if nb == 0:
+        raise ValueError(f"train loader is empty for {data_dict.get('train')}")
+    if multi_scale and device_mosaic:
+        raise ValueError(
+            "--multi-scale is not supported with --device-aug mosaic "
+            "(tile batches carry no 'images' to resize); drop one flag")
     nl = len(model.stride)
     hyp_scaled = scale_hyp(hyp, nl=nl, nc=nc, imgsz=imgsz)
     loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled)
@@ -157,6 +237,11 @@ def run(
                          steps_per_epoch=nb, batch_size=batch_size,
                          name=optimizer, cos_lr=cos_lr, freeze=freeze)
     state = init_train_state(model, tx)
+    if resume_payload is not None:
+        # momentum buffers, accumulation counters, schedule position, EMA —
+        # the loss curve must continue as if never interrupted
+        state = restore_train_state(state, resume_payload)
+        resume_payload = None
 
     mesh = make_mesh(device_count)
     step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
@@ -200,7 +285,7 @@ def run(
                 s_ep = int(round(imgsz * scales[epoch % len(scales)] / gs) * gs)
             batch_keys = (("tiles", "tile_hw", "targets4", "valid4")
                           if device_mosaic else ("images", "targets", "valid"))
-            for i, batch in enumerate(train_loader):
+            for batch in train_loader:
                 batch = {k: batch[k] for k in batch_keys}
                 if multi_scale and s_ep != imgsz:
                     ims = batch["images"]
@@ -213,7 +298,7 @@ def run(
                 # host sync every step (disastrous over a TPU tunnel)
                 agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
                 callbacks.run("on_train_batch_end")
-            n = max(i + 1, 1)
+            n = nb
             agg = jax.device_get(agg)
             dt = time.time() - t0
             row = {f"train/{k}": float(v) / n for k, v in agg.items()
@@ -233,15 +318,20 @@ def run(
             print(f"epoch {epoch + 1}/{epochs}  " +
                   "  ".join(f"{k.split('/')[-1]} {v:.4g}" for k, v in row.items()))
 
-            if fi >= best_fitness:
+            if fi > best_fitness:
                 best_fitness = fi
             if not nosave:
-                save_checkpoint(last, jax.device_get(state), model, epoch, best_fitness)
-                if fi >= best_fitness and val_loader is not None:
-                    save_checkpoint(best, jax.device_get(state), model, epoch, best_fitness)
+                host_state = jax.device_get(state)
+                # last.ckpt keeps the optimizer so --resume restores momentum
+                # + schedule position; best.ckpt is the stripped inference
+                # artifact (reference strip_optimizer, general.py:770-787)
+                save_checkpoint(last, host_state, model, epoch, best_fitness,
+                                include_opt=True)
+                if val_loader is not None and best_fitness == fi:
+                    save_checkpoint(best, host_state, model, epoch, best_fitness)
                 if save_period > 0 and epoch % save_period == 0:
                     save_checkpoint(save_dir / f"epoch{epoch}.ckpt",
-                                    jax.device_get(state), model, epoch, best_fitness)
+                                    host_state, model, epoch, best_fitness)
                 callbacks.run("on_model_save", epoch=epoch)
             callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi)
             if stopper(epoch, fi):

@@ -108,7 +108,12 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema, params, new_stats)
+        # EMA ticks only on real optimizer updates: under MultiSteps the
+        # outer gradient_step counter advances once per `accumulate` batches
+        gs0 = getattr(state.opt_state, "gradient_step", None)
+        gs1 = getattr(opt_state, "gradient_step", None)
+        tick = None if gs0 is None else gs1 > gs0
+        ema = ema_update(state.ema, params, new_stats, tick=tick)
         new_state = TrainState(state.step + 1, params, new_stats, opt_state, ema)
         metrics = dict(comps, total=total, grad_norm=optax.global_norm(grads))
         return new_state, metrics
