@@ -204,3 +204,109 @@ def test_mosaic_device_in_train_step(rng):
     for _ in range(3):
         state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_mosaic_fused_matches_compose_then_warp(rng):
+    """The separable MXU mosaic must equal composing the 2s canvas and
+    cv2.warpAffine-ing it (scale+translate), including bilinear blending
+    across tile seams and 114 border fill."""
+    from yolov5_tpu.data.device_aug import mosaic_fused
+
+    s = 64
+    bs = 2
+    images = np.full((bs, s, s, 3), 114, np.uint8)
+    hw = np.array([[48, 64], [64, 32]], np.int32)
+    for b in range(bs):
+        h, w = hw[b]
+        images[b, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+    idx = np.array([[0, 1, 0, 1], [1, 0, 1, 0]], np.int32)
+    xc = np.array([70.0, 90.0], np.float32)   # integers: numpy paste possible
+    yc = np.array([90.0, 70.0], np.float32)
+    r = np.array([0.8, 1.2], np.float32)
+    t = np.array([[0.50 * s, 0.55 * s], [0.45 * s, 0.50 * s]], np.float32)
+
+    targets = np.zeros((bs, 4, 5), np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    valid = np.zeros((bs, 4), bool)
+    valid[:, 0] = True
+
+    hw4 = hw[idx].astype(np.float32)
+    out, tgt, vld = jax.jit(mosaic_fused)(
+        jnp.asarray(images), jnp.asarray(hw4),
+        jnp.asarray(targets[idx]), jnp.asarray(valid[idx]),
+        jnp.asarray(idx), jnp.asarray(xc), jnp.asarray(yc),
+        jnp.asarray(r), jnp.asarray(t))
+    out = np.asarray(out)
+
+    for b in range(bs):
+        canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+        for k in range(4):
+            h, w = hw[idx[b, k]]
+            ox = {0: xc[b] - w, 1: xc[b], 2: xc[b] - w, 3: xc[b]}[k]
+            oy = {0: yc[b] - h, 1: yc[b] - h, 2: yc[b], 3: yc[b]}[k]
+            x1a, y1a = int(max(ox, 0)), int(max(oy, 0))
+            x2a = int(min(ox + w, 2 * s))
+            y2a = int(min(oy + h, 2 * s))
+            x1b, y1b = int(x1a - ox), int(y1a - oy)
+            canvas[y1a:y2a, x1a:x2a] = images[idx[b, k]][
+                y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)]
+        M = np.array([[r[b], 0, t[b, 0] - r[b] * s],
+                      [0, r[b], t[b, 1] - r[b] * s]], np.float32)
+        ref = cv2.warpAffine(canvas, M, (s, s), flags=cv2.INTER_LINEAR,
+                             borderValue=(114, 114, 114))
+        diff = np.abs(out[b].astype(np.int32) - ref.astype(np.int32))
+        # bf16 matmuls round pixel values; allow a few LSBs on a tiny fraction
+        assert np.mean(diff) < 1.0, np.mean(diff)
+        assert np.quantile(diff, 0.99) <= 3, np.quantile(diff, 0.99)
+
+    # labels: the one valid box per tile lands where the transform says
+    b = 0
+    h0, w0 = hw[idx[b, 0]]
+    ox, oy = xc[b] - w0, yc[b] - h0
+    def expect(center, size, o, off):
+        lo = np.clip((center - size / 2 + o) * r[b] + off - r[b] * s, 0, s)
+        hi = np.clip((center + size / 2 + o) * r[b] + off - r[b] * s, 0, s)
+        return (lo + hi) / 2
+    cx = expect(0.5 * w0, 0.5 * w0, ox, t[b, 0])
+    cy = expect(0.5 * h0, 0.5 * h0, oy, t[b, 1])
+    tgt = np.asarray(tgt)
+    assert np.asarray(vld)[b, 0]
+    np.testing.assert_allclose(tgt[b, 0, 1] * s, cx, atol=0.6)
+    np.testing.assert_allclose(tgt[b, 0, 2] * s, cy, atol=0.6)
+
+
+def test_mosaic_in_batch_in_train_step(rng):
+    """Raw batches (images+hw) flow through the jitted train step with
+    in-batch device mosaic and produce a finite loss."""
+    from tests.test_train_step import HYP, TINY_CFG
+    from yolov5_tpu.models import DetectionModel
+    from yolov5_tpu.train.loss import ComputeLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+
+    m = DetectionModel(TINY_CFG)
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=m.nc, imgsz=64)
+    aug_hyp = {**HYP, "mosaic": 1.0, "scale": 0.5, "translate": 0.1,
+               "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    loss_fn = ComputeLoss(m.anchors_per_stride, m.nc, hyp)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=4, batch_size=64)
+    state = init_train_state(m, tx)
+    step = make_train_step(m, loss_fn, tx, device_aug_hyp=aug_hyp)
+
+    bs, s, M = 4, 64, 8
+    images = np.full((bs, s, s, 3), 114, np.uint8)
+    hw = np.zeros((bs, 2), np.int32)
+    targets = np.zeros((bs, M, 5), np.float32)
+    valid = np.zeros((bs, M), bool)
+    for b in range(bs):
+        h, w = (48 + 16 * (b % 2), 64 - 8 * (b % 3))
+        images[b, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        hw[b] = (h, w)
+        targets[b, 0] = [b % 3, 0.5, 0.5, 0.4, 0.4]
+        valid[b, 0] = True
+    batch = {"images": jnp.asarray(images), "hw": jnp.asarray(hw),
+             "targets": jnp.asarray(targets), "valid": jnp.asarray(valid)}
+    for _ in range(2):
+        state, metrics = step(state, dict(batch))
+    assert np.isfinite(float(metrics["total"]))

@@ -140,3 +140,38 @@ def test_single_vs_multichip_same_result(tiny_model, rng):
     w1 = np.asarray(s1.params["layers_0"]["conv"]["kernel"])
     w8 = np.asarray(s8.params["layers_0"]["conv"]["kernel"])
     np.testing.assert_allclose(w1, w8, atol=1e-5)
+
+
+def test_device_cache_step_multichip(tiny_model, rng):
+    """HBM-resident dataset: the step gathers its batch from a replicated
+    device cache by sharded (bs,) indices — runs over the 8-device mesh."""
+    m = tiny_model
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=m.nc, imgsz=64)
+    aug_hyp = {**HYP, "mosaic": 1.0, "scale": 0.5, "translate": 0.1,
+               "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    loss_fn = ComputeLoss(m.anchors_per_stride, m.nc, hyp)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=4, batch_size=64)
+    mesh = make_mesh(8)
+    step = make_train_step(m, loss_fn, tx, mesh=mesh,
+                           device_aug_hyp=aug_hyp, device_cache=True)
+
+    n, s, M = 16, 64, 8
+    cache = {
+        "images": rng.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        "hw": np.tile(np.array([[48, 64]], np.int32), (n, 1)),
+        "targets": np.zeros((n, M, 5), np.float32),
+        "valid": np.zeros((n, M), bool),
+    }
+    cache["targets"][:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    cache["valid"][:, 0] = True
+
+    state = init_train_state(m, tx)
+    with mesh:
+        state = replicate(state, mesh)
+        cache_dev = replicate(cache, mesh)
+        batch = shard_batch({"idx": np.arange(8, dtype=np.int32)}, mesh)
+        state, metrics = step(state, batch, cache_dev)
+        state, metrics = step(state, {"idx": jnp.asarray(
+            np.arange(8, 16, dtype=np.int32))}, cache_dev)
+    assert np.isfinite(float(metrics["total"]))
+    assert int(state.step) == 2

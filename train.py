@@ -30,14 +30,18 @@ def parse_opt():
     p.add_argument("--noval", action="store_true")
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--resume", default="", help="checkpoint to resume from")
-    p.add_argument("--max-labels", type=int, default=128)
+    p.add_argument("--max-labels", type=int, default=None,
+                   help="fixed label capacity per image (default: auto from dataset)")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--evolve", type=int, nargs="?", const=30, default=0,
                    help="evolve hyperparameters for N generations")
     p.add_argument("--freeze", type=int, default=0, help="freeze first N layers")
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--image-weights", action="store_true")
-    p.add_argument("--cache", default=None, choices=[None, "ram"])
+    p.add_argument("--cache", default=None,
+                   choices=[None, "ram", "device", "none"],
+                   help="image cache: auto (default), ram, device (HBM-resident"
+                        " dataset, requires --device-aug), or none")
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--device-aug", action="store_true",
                    help="run HSV/perspective/flip augmentation on-device in the jitted step")
@@ -72,7 +76,8 @@ def main():
         nosave=opt.nosave, noval=opt.noval, save_period=opt.save_period,
         resume=opt.resume, max_labels=opt.max_labels, dtype=opt.dtype,
         freeze=opt.freeze or None, multi_scale=opt.multi_scale,
-        image_weights=opt.image_weights, cache=opt.cache,
+        image_weights=opt.image_weights,
+        cache=False if opt.cache == "none" else opt.cache,
         noautoanchor=opt.noautoanchor, device_aug=opt.device_aug,
     )
 

@@ -99,6 +99,13 @@ class YOLODataset:
     """Index-addressable dataset yielding (image uint8 HWC, labels normalized
     xywh, segments) with the reference augmentation stack."""
 
+    def __getstate__(self):
+        # worker processes rebuild their own RAM cache; shipping the parent's
+        # would copy every decoded image through the pickle pipe
+        state = dict(self.__dict__)
+        state["_ram"] = {}
+        return state
+
     def __init__(self, path, img_size=640, augment=False, hyp=None,
                  single_cls=False, stride=32, pad=0.0, use_segments=False,
                  cache=None, device_aug=False):
@@ -357,20 +364,67 @@ def rect_batch_shapes(shapes, batch_size, img_size, stride=32, pad=0.5,
     return order, out_shapes
 
 
+# -- process-pool batch building ------------------------------------------
+# Training augmentation (mosaic: 4 decodes + paste + warp per sample) is
+# GIL-bound in threads; the reference solves this with DataLoader worker
+# processes (utils/dataloaders.py:148-163) and so do we: a persistent spawn
+# pool where each worker builds WHOLE collated batches (numpy in, numpy out —
+# workers never touch jax). Batch construction is deterministic from
+# (seed, epoch, index), so results are identical to the in-process path.
+
+_WORKER_LOADER = None
+
+
+def _mp_init(loader):
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)  # the pool is the parallelism
+    except Exception:
+        pass
+
+
+def _mp_build(task):
+    """(kind, chunk, real, seed) -> collated numpy batch."""
+    kind, chunk, real, seed = task
+    ld = _WORKER_LOADER
+    if kind == "tiles":
+        batch = ld._tiles_batch(chunk, np.random.default_rng(seed))
+    elif kind == "raw":
+        batch = ld._raw_batch(chunk)
+    else:
+        samples = [ld.ds.get_item(int(i), np.random.default_rng(seed + int(i)))
+                   for i in chunk]
+        batch = ld._collate(samples)
+    batch["real"] = real
+    batch["indices"] = np.asarray(chunk, np.int64)
+    return batch
+
+
 class Loader:
-    """Threaded fixed-shape batch loader with per-epoch deterministic
-    shuffling and host sharding."""
+    """Fixed-shape batch loader with per-epoch deterministic shuffling, host
+    sharding, and (for augmented training) a persistent worker-process pool
+    with a bounded in-flight window."""
 
     def __init__(self, dataset: YOLODataset, batch_size=16, shuffle=False,
                  max_labels=128, workers=8, seed=0, shard=(0, 1),
                  drop_last=True, masks=False, mask_ratio=4, overlap=True,
                  native=None, rect=False, stride=32, pad=0.5,
-                 mosaic_tiles=False):
+                 mosaic_tiles=False, raw_images=False):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
+        if max_labels in (None, "auto"):
+            # size the fixed label capacity to the dataset: every padded row
+            # multiplies the assignment lattice the loss materializes
+            most = max((len(l) for l in dataset.labels), default=1)
+            max_labels = max(8, int(math.ceil(most / 8) * 8))
         self.max_labels = max_labels
-        self.workers = max(1, workers)
+        # more workers than cores just adds spawn + pickle overhead
+        self.workers = max(1, min(workers, os.cpu_count() or 1))
+        self.raw_images = raw_images
         self.seed = seed
         self.rank, self.world = shard
         self.drop_last = drop_last
@@ -388,6 +442,9 @@ class Loader:
         if self.rect:
             self.shuffle = False
             self.drop_last = False
+        self._mp_pool = None
+        # process workers for augmented training; RAM caches are per-worker
+        self.use_processes = dataset.augment and self.workers > 1
         # native C++ batch decode+letterbox fast path: val/inference loading
         # only (no augmentation), jpeg sources
         self.native = False
@@ -401,6 +458,58 @@ class Loader:
                     self._native_lib = native_lib
             except Exception:
                 self.native = False
+
+    def __getstate__(self):  # what worker processes receive at pool init
+        return {k: v for k, v in self.__dict__.items()
+                if k not in ("_mp_pool", "_native_lib")}
+
+    def _pool(self):
+        if self._mp_pool is None:
+            import multiprocessing as mp
+
+            # spawn, not fork: the parent may hold a live TPU client with
+            # background threads; workers import numpy/cv2 only
+            ctx = mp.get_context("spawn")
+            self._mp_pool = ctx.Pool(self.workers, initializer=_mp_init,
+                                     initargs=(self,))
+        return self._mp_pool
+
+    def close(self):
+        if self._mp_pool is not None:
+            self._mp_pool.terminate()
+            self._mp_pool.join()
+            self._mp_pool = None
+
+    def _mp_iter(self, idx, nb, base_seed, kind):
+        """Ordered results with a bounded in-flight window (backpressure:
+        a fast pool must not balloon 20 MB batches in the result queue)."""
+        from collections import deque
+
+        pool = self._pool()
+        def tasks():
+            for bi in range(nb):
+                chunk = [int(i) for i in idx[bi * self.bs : (bi + 1) * self.bs]]
+                real = len(chunk)
+                while len(chunk) < self.bs:
+                    chunk.append(chunk[-1])
+                seed = base_seed + bi * 7919 if kind == "tiles" else base_seed
+                yield (kind, chunk, real, seed)
+
+        it = tasks()
+        window = self.workers + 2
+        pending = deque()
+        for t in it:
+            pending.append((t, pool.apply_async(_mp_build, (t,))))
+            if len(pending) >= window:
+                break
+        while pending:
+            t, fut = pending.popleft()
+            batch = fut.get()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, pool.apply_async(_mp_build, (nxt,))))
+            batch["paths"] = [self.ds.im_files[int(i)] for i in t[1]]
+            yield batch
 
     def __len__(self):
         if self.rect:
@@ -494,6 +603,29 @@ class Loader:
                 valid[b, :n] = True
         return {"images": images, "targets": targets, "valid": valid}
 
+    def _raw_batch(self, chunk):
+        """Raw decoded batches for fully-on-device augmentation: each image
+        resized long-side=s into the top-left of an s x s buffer, labels
+        normalized to the content. Mosaic partners, composition, geometry,
+        HSV and flips all happen inside the jitted step (mosaic_in_batch) —
+        the host path is decode (or RAM-cache hit) + memcpy."""
+        s = self.ds.img_size
+        bs = len(chunk)
+        images = np.full((bs, s, s, 3), 114, np.uint8)
+        hw = np.zeros((bs, 2), np.int32)
+        targets = np.zeros((bs, self.max_labels, 5), np.float32)
+        valid = np.zeros((bs, self.max_labels), bool)
+        for b, i in enumerate(chunk):
+            im, _, (h, w) = self.ds.load_image(int(i))
+            images[b, :h, :w] = im[..., ::-1]
+            hw[b] = (h, w)
+            lab = self.ds.labels[int(i)]
+            n = min(len(lab), self.max_labels)
+            if n:
+                targets[b, :n] = lab[:n]
+                valid[b, :n] = True
+        return {"images": images, "hw": hw, "targets": targets, "valid": valid}
+
     def _tiles_batch(self, chunk, rng):
         """Raw 4-tile batches for on-device mosaic: per slot, the indexed
         image + 3 random partners, each resized long-side=s into the top-left
@@ -576,13 +708,32 @@ class Loader:
         idx = self._indices(self.epoch)
         nb = len(self)
         base_seed = self.seed * 100003 + self.epoch * 1009
+        kind = ("tiles" if self.mosaic_tiles
+                else "raw" if self.raw_images else "std")
+        if self.use_processes and not self.native:
+            yield from self._mp_iter(idx, nb, base_seed, kind)
+            return
+        if self.raw_images:
+            for bi in range(nb):
+                chunk = [int(i) for i in idx[bi * self.bs : (bi + 1) * self.bs]]
+                real = len(chunk)
+                while len(chunk) < self.bs:
+                    chunk.append(chunk[-1])
+                batch = self._raw_batch(chunk)
+                batch["real"] = real
+                batch["indices"] = np.asarray(chunk, np.int64)
+                batch["paths"] = [self.ds.im_files[int(i)] for i in chunk]
+                yield batch
+            return
         if self.mosaic_tiles:
-            rng = np.random.default_rng(base_seed)
             for bi in range(nb):
                 chunk = list(idx[bi * self.bs : (bi + 1) * self.bs])
                 while len(chunk) < self.bs:
                     chunk.append(chunk[-1])
-                yield self._tiles_batch(chunk, rng)
+                # per-batch rng stream: identical whether built here or in a
+                # worker process
+                yield self._tiles_batch(chunk, np.random.default_rng(
+                    base_seed + bi * 7919))
             return
         if self.native:
             for bi in range(nb):
@@ -616,24 +767,44 @@ class Loader:
                 yield batch
 
 
+def _available_ram():
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable"):
+                    return int(line.split()[1]) * 1024
+    except Exception:
+        pass
+    return 8 << 30
+
+
 def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
                   cache=None, device_aug=False, native=None, rect=False,
-                  stride=32, pad=0.5, mosaic_tiles=False):
+                  stride=32, pad=0.5, mosaic_tiles=False, raw_images=False):
     """Dataset + loader in one call (reference create_dataloader,
-    utils/dataloaders.py:106-164)."""
+    utils/dataloaders.py:106-164). cache: None = auto (RAM-cache training
+    images when they fit comfortably), False = off, 'ram' = force."""
     ds = YOLODataset(path, img_size=img_size, augment=augment, hyp=hyp,
-                     single_cls=single_cls, use_segments=masks, cache=cache,
-                     device_aug=device_aug)
+                     single_cls=single_cls, use_segments=masks,
+                     cache=cache or None, device_aug=device_aug)
     loader = Loader(ds, batch_size=batch_size,
                     shuffle=augment if shuffle is None else shuffle,
                     max_labels=max_labels, workers=workers, seed=seed,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
                     overlap=overlap, native=native, rect=rect, stride=stride,
-                    pad=pad, mosaic_tiles=mosaic_tiles,
+                    pad=pad, mosaic_tiles=mosaic_tiles, raw_images=raw_images,
                     # val/eval loaders must see every image: final partial
                     # batches are padded (and excluded from scoring via
                     # the 'real' count) instead of dropped
                     drop_last=augment)
+    if cache is None and augment:
+        # auto RAM cache (reference check_cache_ram, dataloaders.py:614-631):
+        # decode once, augment from memory. With worker processes each worker
+        # holds its own cache, so budget per-worker.
+        eff = loader.workers if loader.use_processes else 1
+        need = len(ds) * img_size * img_size * 3 * 1.1 * eff
+        if need < 0.4 * _available_ram():
+            ds.cache = "ram"
     return ds, loader

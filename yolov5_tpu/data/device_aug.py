@@ -219,6 +219,168 @@ def random_flip_ud(images, targets, key, p=0.0):
     return images, targets
 
 
+# ---------------------------------------------------------------------------
+# MXU mosaic: composition + scale/translate warp as separable banded matmuls
+# ---------------------------------------------------------------------------
+# With the default geometry hyps (degrees=shear=perspective=0 in every
+# scratch-* preset) the mosaic pipeline's warp is pure scale+translate, which
+# is SEPARABLE: out = Wy @ canvas @ Wx^T with per-image bilinear weight
+# matrices built from iotas. Since the canvas is itself four translated tiles,
+# the whole mosaic collapses to four per-tile einsums — no 2s canvas in HBM,
+# no gather (TPU gathers run on the scalar unit; these matmuls run on the
+# MXU). Per-tap content/canvas masking makes this EXACT vs compose-then-warp,
+# including bilinear blending across tile seams.
+
+
+def _axis_weights(A, B, content, origin, n_in, n_out, canvas):
+    """Bilinear resample weights for out[o] = src[(o - B) / A] where src is a
+    tile axis of `content` valid px placed at `origin` on a `canvas`-px axis.
+
+    A, B, content, origin: (bs,) floats. Returns (bs, n_out, n_in) weights;
+    taps outside the tile content or outside the canvas get zero weight (the
+    caller backfills the lost mass with the 114 border color).
+    """
+    o = jnp.arange(n_out, dtype=jnp.float32)
+    i = jnp.arange(n_in, dtype=jnp.float32)
+    # tile-local tap position for each output pixel
+    u = (o[None, :] - B[:, None]) / A[:, None] - origin[:, None]  # (bs, n_out)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, :, None] - i[None, None, :]))
+    inside = (i[None, None, :] < content[:, None, None]) & (
+        (i[None, None, :] + origin[:, None, None] >= 0)
+        & (i[None, None, :] + origin[:, None, None] <= canvas - 1)
+    )
+    return jnp.where(inside, w, 0.0)
+
+
+def _tile_origins(k, xc, yc, h, w):
+    """Content-corner placement per mosaic quadrant (reference x1a/y1a math,
+    dataloaders.py:798-855). All args (bs,) floats; returns (ox, oy)."""
+    if k == 0:  # top-left: bottom-right corner at (xc, yc)
+        return xc - w, yc - h
+    if k == 1:  # top-right
+        return xc, yc - h
+    if k == 2:  # bottom-left
+        return xc - w, yc
+    return xc, yc  # bottom-right
+
+
+def mosaic_in_batch(images, hw, targets, valid, key, hyp):
+    """Fused on-device mosaic for raw batches: partners drawn from WITHIN the
+    batch so the host ships B images instead of 4B tiles.
+
+    images: (bs, s, s, 3) uint8 — decoded images resized long-side=s, content
+    in the top-left of the buffer; hw (bs, 2) content sizes; targets
+    (bs, M, 5) normalized to the content; valid (bs, M).
+
+    Partner sampling from the (shuffled) batch instead of the whole dataset is
+    the one statistical deviation from the reference mosaic
+    (dataloaders.py:806 picks uniform dataset indices); with shuffled epochs
+    the batch IS a uniform sample, and it converts 4x H2D bytes into an
+    on-device gather of whole images.
+
+    Geometry: scale+translate (the default hyps) runs on the separable MXU
+    path; degrees/shear/perspective fall back to compose+gather
+    (mosaic_device).
+    """
+    bs, s = images.shape[0], images.shape[1]
+    kidx, kc, kw = jax.random.split(key, 3)
+    idx = jnp.concatenate(
+        [jnp.arange(bs, dtype=jnp.int32)[:, None],
+         jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)  # (bs, 4)
+    hw4 = hw[idx].astype(jnp.float32)          # (bs, 4, 2)
+    targets4 = targets[idx]                    # (bs, 4, M, 5)
+    valid4 = valid[idx]
+
+    if any(hyp.get(k_, 0) for k_ in ("degrees", "shear", "perspective")):
+        # rotation/shear/perspective are not separable: materialize tiles and
+        # take the gather path
+        tiles = images[idx.reshape(-1)].reshape(bs, 4, s, s, 3)
+        return mosaic_device(tiles, hw4.astype(jnp.int32), targets4, valid4,
+                             jax.random.fold_in(key, 1), hyp)
+
+    # mosaic center on the 2s canvas (reference uniform over [s/2, 3s/2])
+    c = jax.random.uniform(kc, (bs, 2), minval=0.5 * s, maxval=1.5 * s)
+    xc, yc = c[:, 0], c[:, 1]
+    # scale+translate canvas->output map: x_out = r * (x - s) + t * s
+    kr, kt = jax.random.split(kw)
+    scale = hyp.get("scale", 0.5)
+    translate = hyp.get("translate", 0.1)
+    r = jax.random.uniform(kr, (bs,), minval=1 - scale, maxval=1 + scale)
+    t = jax.random.uniform(kt, (bs, 2), minval=0.5 - translate,
+                           maxval=0.5 + translate) * s
+    return mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+
+
+def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
+    """Deterministic fused mosaic core (separable MXU path); randomness is
+    drawn by the caller. See mosaic_in_batch."""
+    bs, s = images.shape[0], images.shape[1]
+    # inverse map: x_canvas = (x_out - Bx) / A with
+    A = r
+    Bx = t[:, 0] - r * s
+    By = t[:, 1] - r * s
+
+    out = jnp.zeros((bs, s, s, 3), jnp.float32)
+    mass_y = []
+    mass_x = []
+    imgs_bf = images.astype(jnp.bfloat16)
+    for k in range(4):
+        h_k, w_k = hw4[:, k, 0], hw4[:, k, 1]
+        ox, oy = _tile_origins(k, xc, yc, h_k, w_k)
+        Wx = _axis_weights(A, Bx, w_k, ox, s, s, 2 * s)  # (bs, s_out, s_in)
+        Wy = _axis_weights(A, By, h_k, oy, s, s, 2 * s)
+        tile = imgs_bf[idx[:, k]]
+        # two MXU passes: rows then columns
+        rows = jnp.einsum("boh,bhwc->bowc", Wy.astype(jnp.bfloat16), tile,
+                          preferred_element_type=jnp.float32)
+        contrib = jnp.einsum("bpw,bowc->bopc", Wx.astype(jnp.bfloat16),
+                             rows.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+        out = out + contrib
+        mass_y.append(Wy.sum(-1))  # (bs, s)
+        mass_x.append(Wx.sum(-1))
+    # border fill: quadrants are disjoint, so total bilinear mass <= 1 and the
+    # remainder is the 114-gray border (cv2 borderValue semantics)
+    mass = sum(my[:, :, None] * mx[:, None, :] for my, mx in zip(mass_y, mass_x))
+    out = out + (1.0 - jnp.minimum(mass, 1.0))[..., None] * 114.0
+    out = jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+    # labels: tile-content normalized -> canvas px -> output px -> normalized
+    labels = []
+    valids = []
+    for k in range(4):
+        h_k = hw4[:, k, 0][:, None]
+        w_k = hw4[:, k, 1][:, None]
+        ox, oy = _tile_origins(k, xc[:, None], yc[:, None], h_k, w_k)
+        tk = targets4[:, k]
+        x_c = tk[..., 1] * w_k + ox
+        y_c = tk[..., 2] * h_k + oy
+        bw_c = tk[..., 3] * w_k
+        bh_c = tk[..., 4] * h_k
+        # canvas clip (reference clips labels to [0, 2s] before the warp)
+        x1 = jnp.clip(x_c - bw_c / 2, 0, 2 * s)
+        y1 = jnp.clip(y_c - bh_c / 2, 0, 2 * s)
+        x2 = jnp.clip(x_c + bw_c / 2, 0, 2 * s)
+        y2 = jnp.clip(y_c + bh_c / 2, 0, 2 * s)
+        # scale+translate to output px, clip to [0, s]
+        ox1 = jnp.clip(A[:, None] * x1 + Bx[:, None], 0, s)
+        ox2 = jnp.clip(A[:, None] * x2 + Bx[:, None], 0, s)
+        oy1 = jnp.clip(A[:, None] * y1 + By[:, None], 0, s)
+        oy2 = jnp.clip(A[:, None] * y2 + By[:, None], 0, s)
+        nw = ox2 - ox1
+        nh = oy2 - oy1
+        pre_w = (x2 - x1) * A[:, None]
+        pre_h = (y2 - y1) * A[:, None]
+        ar = jnp.maximum(nw / (nh + 1e-16), nh / (nw + 1e-16))
+        keep = ((nw > 2) & (nh > 2)
+                & (nw * nh / (pre_w * pre_h + 1e-16) > 0.1) & (ar < 100))
+        labels.append(jnp.stack(
+            [tk[..., 0], (ox1 + ox2) / 2 / s, (oy1 + oy2) / 2 / s,
+             nw / s, nh / s], axis=-1))
+        valids.append(valid4[:, k] & keep)
+    return out, jnp.concatenate(labels, 1), jnp.concatenate(valids, 1)
+
+
 def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp):
     """On-device 4-image mosaic (reference utils/dataloaders.py:798-855).
 

@@ -162,11 +162,20 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         Path(save_json).parent.mkdir(parents=True, exist_ok=True)
         Path(save_json).write_text(json.dumps(json_rows))
         out["json"] = str(save_json)
-        # score with pycocotools when available (optional dependency)
+        # score with the COCO protocol (in-house COCOEvalLite; pycocotools
+        # is not in this image) — cross-validates the ap_per_class numbers
+        # (reference val.py:368-383)
         try:
-            import pycocotools  # noqa: F401
-        except ImportError:
-            pass
+            from yolov5_tpu.eval.coco import gt_from_dataset, score_detections_json
+
+            gt = gt_from_dataset(loader.ds, coco91=coco91)
+            out["coco"] = score_detections_json(json_rows, gt)
+            if verbose:
+                c = out["coco"]
+                print(f"COCO eval: mAP {c['map']:.4f}  mAP50 {c['map50']:.4f} "
+                      f"mAP75 {c['map75']:.4f} (in-house mAP {mean_ap:.4f})")
+        except Exception as e:  # scoring must never kill a val run
+            print(f"COCO scoring failed: {e}")
     if verbose:
         print(
             f"val: {n_images} imgs  P {mp:.3f}  R {mr:.3f}  mAP50 {map50:.3f} "

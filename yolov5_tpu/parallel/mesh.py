@@ -48,3 +48,42 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated_spec(mesh))
+
+
+_DONE = object()
+
+
+def prefetch_to_mesh(iterator, mesh: Mesh, depth=2, transform=None):
+    """Double-buffered input pipeline: a background thread pulls host batches,
+    applies `transform` (host-side prep), and `jax.device_put`s them with
+    batch sharding up to `depth` ahead — overlapping augmentation and the
+    H2D transfer with the device step instead of serializing them (the
+    reference gets this from DataLoader worker prefetch + pinned-memory
+    copies, utils/dataloaders.py:106-164)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err = []
+
+    def produce():
+        try:
+            for b in iterator:
+                if transform is not None:
+                    b = transform(b)
+                q.put(jax.device_put(b, shard_batch_spec(mesh)))
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_DONE)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is _DONE:
+            break
+        yield b
+    t.join()
+    if err:
+        raise err[0]

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from yolov5_tpu.data.dataset import create_loader
 from yolov5_tpu.eval.evaluator import evaluate
 from yolov5_tpu.models import DetectionModel
-from yolov5_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from yolov5_tpu.parallel.mesh import make_mesh, prefetch_to_mesh, replicate
 from yolov5_tpu.train.loss import ComputeLoss
 from yolov5_tpu.train.optim import build_optimizer
 from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
@@ -84,7 +84,7 @@ def run(
     cos_lr=False,
     seed=0,
     workers=8,
-    max_labels=128,
+    max_labels=None,
     single_cls=False,
     patience=100,
     save_dir=None,
@@ -203,8 +203,9 @@ def run(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, cache=cache,
-        device_aug=device_aug, mosaic_tiles=device_mosaic,
+        device_aug=device_aug, raw_images=device_mosaic,
     )
+    max_labels = train_loader.max_labels  # resolved if auto
     if not noautoanchor and not _resume_ckpt and not weights:
         from yolov5_tpu.utils.autoanchor import check_anchors
 
@@ -243,9 +244,30 @@ def run(
         state = restore_train_state(state, resume_payload)
         resume_payload = None
 
+    # device-resident dataset: when the decoded training set fits in HBM,
+    # upload it once and ship only (bs,) index vectors per step — the
+    # image H2D stream (the dominant recurring transfer) disappears
+    use_device_cache = False
+    cache_host = None
+    if device_mosaic and cache in (None, "device"):
+        from yolov5_tpu.data.device_cache import (
+            build_cache_arrays,
+            cache_nbytes,
+            device_memory_budget,
+        )
+
+        need = cache_nbytes(train_ds, max_labels)
+        if cache == "device" or need <= device_memory_budget():
+            train_ds.cache = None  # no host RAM copy on top of the HBM one
+            cache_host = build_cache_arrays(train_ds, max_labels)
+            use_device_cache = True
+            print(f"device cache: {len(train_ds)} images "
+                  f"({need / 1e6:.0f} MB) resident in HBM")
+
     mesh = make_mesh(device_count)
     step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
-                              device_aug_hyp=hyp if device_aug else None)
+                              device_aug_hyp=hyp if device_aug else None,
+                              device_cache=use_device_cache)
     stopper = EarlyStopper(patience)
     callbacks.run("on_train_start")
     print(f"training {cfg} on {data_dict.get('train')}: {len(train_ds)} imgs, "
@@ -255,6 +277,10 @@ def run(
     t_start = time.time()
     with mesh:
         state = replicate(state, mesh)
+        cache_dev = None
+        if use_device_cache:
+            cache_dev = replicate(cache_host, mesh)
+            cache_host = None
         for epoch in range(start_epoch, epochs):
             callbacks.run("on_train_epoch_start")
             train_loader.set_epoch(epoch)
@@ -274,26 +300,42 @@ def run(
                 train_loader.set_image_weights(iw, epoch)
             agg = None
             t0 = time.time()
+            s_ep = imgsz
             if multi_scale:
                 # bucketed multi-scale: one size per epoch from 0.75/1.0/1.25x
                 # (few buckets keep the compile count bounded; the reference
                 # resamples per batch, train.py:393-398)
-                import cv2
-
                 gs = max(model.stride)
                 scales = [0.75, 1.0, 1.25]
                 s_ep = int(round(imgsz * scales[epoch % len(scales)] / gs) * gs)
-            batch_keys = (("tiles", "tile_hw", "targets4", "valid4")
+            batch_keys = (("images", "hw", "targets", "valid")
                           if device_mosaic else ("images", "targets", "valid"))
-            for batch in train_loader:
+
+            def host_prep(batch, s_ep=s_ep):
                 batch = {k: batch[k] for k in batch_keys}
-                if multi_scale and s_ep != imgsz:
-                    ims = batch["images"]
+                if s_ep != imgsz:
+                    import cv2
+
                     batch["images"] = np.stack(
                         [cv2.resize(im, (s_ep, s_ep), interpolation=cv2.INTER_LINEAR)
-                         for im in ims])
-                batch = shard_batch(batch, mesh)
-                state, metrics = step_fn(state, batch)
+                         for im in batch["images"]])
+                return batch
+
+            # double-buffered: host prep + H2D run 2 batches ahead of the step
+            if use_device_cache:
+                from yolov5_tpu.data.device_cache import index_batches
+
+                stream = prefetch_to_mesh(
+                    ({"idx": b["idx"]} for b in index_batches(train_loader)),
+                    mesh, depth=2)
+            else:
+                stream = prefetch_to_mesh(iter(train_loader), mesh, depth=2,
+                                          transform=host_prep)
+            for batch in stream:
+                if use_device_cache:
+                    state, metrics = step_fn(state, batch, cache_dev)
+                else:
+                    state, metrics = step_fn(state, batch)
                 # accumulate on device: a float() here would force a full
                 # host sync every step (disastrous over a TPU tunnel)
                 agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
@@ -339,6 +381,7 @@ def run(
                       f"(no fitness gain in {patience} epochs)")
                 break
 
+    train_loader.close()
     print(f"done in {(time.time() - t_start) / 3600:.2f}h, best fitness {best_fitness:.4f}")
     from yolov5_tpu.utils.plots import plot_labels, plot_results
 

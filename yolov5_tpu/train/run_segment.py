@@ -19,7 +19,7 @@ from yolov5_tpu.eval.metrics import ap_per_class, process_batch
 from yolov5_tpu.models import SegmentationModel
 from yolov5_tpu.ops.masks import process_mask
 from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
-from yolov5_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from yolov5_tpu.parallel.mesh import make_mesh, prefetch_to_mesh, replicate
 from yolov5_tpu.train.loss import ComputeSegmentLoss
 from yolov5_tpu.train.optim import build_optimizer
 from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
@@ -173,9 +173,10 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             train_loader.set_epoch(epoch)
             agg = None
             t0 = time.time()
-            for batch in train_loader:
-                batch = {k: batch[k] for k in ("images", "targets", "valid", "masks")}
-                batch = shard_batch(batch, mesh)
+            keys = ("images", "targets", "valid", "masks")
+            for batch in prefetch_to_mesh(
+                    iter(train_loader), mesh, depth=2,
+                    transform=lambda b: {k: b[k] for k in keys}):
                 state, metrics = step_fn(state, batch)
                 # device-side accumulation: no per-step host sync
                 agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
@@ -203,5 +204,6 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             if not nosave:
                 save_checkpoint(save_dir / "last.ckpt", jax.device_get(state),
                                 model, epoch, best_fitness)
+    train_loader.close()
     loggers.close()
     return best_fitness, results, save_dir

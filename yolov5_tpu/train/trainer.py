@@ -57,28 +57,45 @@ def init_train_state(model, tx) -> TrainState:
 
 
 def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
-                    device_aug_hyp=None):
+                    device_aug_hyp=None, device_cache=False):
     """Build the jitted train step.
 
     batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
     (+ "masks" for segmentation). Returns (new_state, metrics).
     device_aug_hyp: when set, HSV/perspective/flip augmentation runs
     on-device inside this step (data/device_aug.py), keyed by state.step.
+    device_cache: the step takes a third argument — the device-resident
+    dataset (data/device_cache.py) — and batch carries only {"idx": (B,)};
+    images/labels are gathered from HBM inside the step.
     """
 
-    def step_fn(state: TrainState, batch):
+    def step_fn(state: TrainState, batch, cache=None):
+        if cache is not None:
+            idx = batch["idx"]
+            batch = {"images": cache["images"][idx], "hw": cache["hw"][idx],
+                     "targets": cache["targets"][idx],
+                     "valid": cache["valid"][idx]}
         if device_aug_hyp is not None:
-            from yolov5_tpu.data.device_aug import device_augment, mosaic_device
+            from yolov5_tpu.data.device_aug import (
+                device_augment,
+                mosaic_device,
+                mosaic_in_batch,
+            )
 
             key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             k_mosaic, k_aug = jax.random.split(key)
             hyp2 = dict(device_aug_hyp)
-            if "tiles" in batch:
+            if "tiles" in batch or "hw" in batch:
                 # on-device mosaic composes + applies the geometry; the
                 # generic pass below must not warp a second time
-                images, targets, valid = mosaic_device(
-                    batch["tiles"], batch["tile_hw"], batch["targets4"],
-                    batch["valid4"], k_mosaic, hyp2)
+                if "hw" in batch:  # raw batches: partners from within batch
+                    images, targets, valid = mosaic_in_batch(
+                        batch["images"], batch["hw"], batch["targets"],
+                        batch["valid"], k_mosaic, hyp2)
+                else:  # explicit 4-tile batches
+                    images, targets, valid = mosaic_device(
+                        batch["tiles"], batch["tile_hw"], batch["targets4"],
+                        batch["valid4"], k_mosaic, hyp2)
                 batch = {"images": images, "targets": targets, "valid": valid}
                 for k in ("degrees", "translate", "scale", "shear", "perspective"):
                     hyp2[k] = 0.0
@@ -119,12 +136,21 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step_fn, donate_argnums=0)
+        if device_cache:
+            return jax.jit(step_fn, donate_argnums=0)
+        return jax.jit(lambda s, b: step_fn(s, b), donate_argnums=0)
 
     rep = replicated_spec(mesh)
     data = shard_batch_spec(mesh)
+    if device_cache:
+        return jax.jit(
+            step_fn,
+            in_shardings=(rep, data, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=0,
+        )
     return jax.jit(
-        step_fn,
+        lambda s, b: step_fn(s, b),
         in_shardings=(rep, data),
         out_shardings=(rep, rep),
         donate_argnums=0,
