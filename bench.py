@@ -60,8 +60,9 @@ def main(batch=32, imgsz=640, k=20):
 
     @jax.jit
     def nms(p):
+        # detect-path defaults, incl. the full 30k candidate cap
         d = non_max_suppression(p, conf_thres=0.25, iou_thres=0.45,
-                                max_nms=2048, max_det=300)
+                                max_det=300)
         return d.boxes
 
     t_nms = chain_time(lambda p: nms(p), (pred,), k=10)

@@ -234,3 +234,83 @@ def test_load_streams_from_video(tmp_path):
             break
     streams.close()
     assert got == 3
+
+
+def test_label_cache_roundtrip(tmp_path):
+    """Verification runs once and persists: a second dataset build loads the
+    hash-keyed .cache.npy; a dataset change invalidates it."""
+    root = tmp_path / "ds"
+    generate_shapes_dataset(root, n_images=6, img_size=96, seed=1,
+                            splits=(("train", 1.0),))
+    path = root / "images" / "train"
+    ds1 = YOLODataset(path, img_size=96)
+    cache_file = root / "labels" / "train.cache.npy" if (
+        root / "labels" / "train.cache.npy").exists() else (
+        root / "labels" / "train").with_suffix(".cache.npy")
+    assert cache_file.exists(), list((root / "labels").iterdir())
+
+    ds2 = YOLODataset(path, img_size=96)
+    assert len(ds2) == len(ds1)
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+    # shapes come from the cache, no per-image decode needed
+    assert ds2.shapes.shape == (len(ds2), 2)
+    assert (ds2.shapes == 96).all()
+
+    # touching a label invalidates the hash -> re-verify picks up the change
+    lb = sorted((root / "labels" / "train").glob("*.txt"))[0]
+    lb.write_text("0 0.5 0.5 0.2 0.2\n0 0.5 0.5 0.2 0.2\n")  # duplicate row
+    ds3 = YOLODataset(path, img_size=96)
+    i = ds3.im_files.index(str(sorted((path).glob("*.jpg"))[0]))
+    assert len(ds3.labels[i]) == 1  # dedup applied
+
+
+def test_corrupt_image_dropped_and_jpeg_restored(tmp_path):
+    root = tmp_path / "ds"
+    generate_shapes_dataset(root, n_images=6, img_size=96, seed=2,
+                            splits=(("train", 1.0),))
+    imgs = sorted((root / "images" / "train").glob("*.jpg"))
+    imgs[0].write_bytes(b"not an image at all")
+    # truncate another jpeg's EOI marker -> should be restored, not dropped
+    data = imgs[1].read_bytes()
+    imgs[1].write_bytes(data[:-2] + b"\x00\x00")
+    ds = YOLODataset(root / "images" / "train", img_size=96)
+    assert len(ds) == 5
+    assert str(imgs[0]) not in ds.im_files
+    assert str(imgs[1]) in ds.im_files
+    assert imgs[1].read_bytes()[-2:] == b"\xff\xd9"  # restored EOI
+
+
+def test_disk_cache_roundtrip(tmp_path):
+    root = tmp_path / "ds"
+    generate_shapes_dataset(root, n_images=4, img_size=96, seed=4,
+                            splits=(("train", 1.0),))
+    ds = YOLODataset(root / "images" / "train", img_size=96, cache="disk")
+    im1, hw0, hw = ds.load_image(0)
+    npy = sorted((root / "images" / "train").glob("*.npy"))
+    assert npy, "disk cache .npy not written"
+    im2, hw0b, _ = ds.load_image(0)
+    np.testing.assert_array_equal(im1, im2)
+    assert hw0 == hw0b
+
+
+def test_copy_paste_wired_into_mosaic(tmp_path):
+    """With segments present and copy_paste=1.0, mosaics gain pasted
+    instances (reference dataloaders.py:836)."""
+    root = tmp_path / "ds"
+    generate_shapes_dataset(root, n_images=8, img_size=128, seed=5,
+                            splits=(("train", 1.0),), segments=True)
+    hyp = {"mosaic": 1.0, "copy_paste": 1.0, "degrees": 0, "translate": 0,
+           "scale": 0, "shear": 0, "perspective": 0}
+    ds = YOLODataset(root / "images" / "train", img_size=128, augment=True,
+                     hyp=hyp, use_segments=True)
+    rng = np.random.default_rng(0)
+    base_hyp = dict(ds.hyp)
+    grew = 0
+    for i in range(len(ds)):
+        ds.hyp = {**base_hyp, "copy_paste": 0.0}
+        _, lab0, _ = ds.load_mosaic(i, np.random.default_rng(i))
+        ds.hyp = {**base_hyp, "copy_paste": 1.0}
+        _, lab1, _ = ds.load_mosaic(i, np.random.default_rng(i))
+        grew += len(lab1) > len(lab0)
+    assert grew > 0, "copy_paste never added instances"

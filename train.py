@@ -39,9 +39,10 @@ def parse_opt():
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--cache", default=None,
-                   choices=[None, "ram", "device", "none"],
-                   help="image cache: auto (default), ram, device (HBM-resident"
-                        " dataset, requires --device-aug), or none")
+                   choices=[None, "ram", "disk", "device", "none"],
+                   help="image cache: auto (default), ram, disk (decoded .npy),"
+                        " device (HBM-resident dataset, requires --device-aug),"
+                        " or none")
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--device-aug", action="store_true",
                    help="run HSV/perspective/flip augmentation on-device in the jitted step")

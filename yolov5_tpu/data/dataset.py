@@ -95,6 +95,98 @@ def load_label_file(path):
     return labels, segments
 
 
+CACHE_VERSION = "yolov5_tpu-labels-v1"
+
+
+def get_hash(paths):
+    """Size+name hash keying the label cache (reference get_hash semantics)."""
+    import hashlib
+
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    h = hashlib.md5(str(total).encode())
+    h.update("".join(paths).encode())
+    return h.hexdigest()
+
+
+def verify_image_label(im_file, lb_file):
+    """Integrity-check one (image, label) pair (reference
+    utils/dataloaders.py:895-946): readable image of sane size, corrupt-JPEG
+    auto-restore, validated/deduplicated label rows.
+
+    Returns (labels | None-if-corrupt, shape (h, w), segments, msg).
+    """
+    msg = ""
+    try:
+        from PIL import Image, ImageOps
+
+        with Image.open(im_file) as im:
+            im.verify()
+            shape = (im.size[1], im.size[0])
+            fmt = (im.format or "").lower()
+        assert shape[0] > 9 and shape[1] > 9, f"image size {shape} < 10 pixels"
+        assert fmt in IMG_FORMATS, f"invalid image format {fmt}"
+        if fmt in ("jpg", "jpeg"):
+            with open(im_file, "rb") as f:
+                f.seek(-2, 2)
+                if f.read() != b"\xff\xd9":  # truncated JPEG: restore
+                    ImageOps.exif_transpose(Image.open(im_file)).save(
+                        im_file, "JPEG", subsampling=0, quality=100)
+                    msg = f"{im_file}: corrupt JPEG restored and saved"
+        labels, segments = load_label_file(lb_file)
+        if len(labels):
+            assert (labels >= 0).all(), "negative label values"
+            assert (labels[:, 1:] <= 1).all(), "non-normalized coordinates"
+            _, keep = np.unique(labels, axis=0, return_index=True)
+            if len(keep) < len(labels):  # duplicate rows removed
+                keep = np.sort(keep)
+                labels = labels[keep]
+                segments = ([segments[i] for i in keep] if segments else [])
+                msg = f"{im_file}: {len(labels) - len(keep)} duplicate labels removed"
+        return labels, shape, segments, msg
+    except Exception as e:
+        return None, None, [], f"{im_file}: ignoring corrupt image/label: {e}"
+
+
+def load_or_build_label_cache(im_files, label_files, workers=8):
+    """Hash-validated label cache (reference .cache npy,
+    utils/dataloaders.py:528-560): verification runs once per dataset change,
+    not once per run. Returns (keep_idx, labels, shapes, segments, msgs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cache_path = Path(label_files[0]).parent.with_suffix(".cache.npy") \
+        if label_files else None
+    h = get_hash(list(label_files) + list(im_files))
+    if cache_path and cache_path.exists():
+        try:
+            cached = np.load(cache_path, allow_pickle=True).item()
+            if cached.get("version") == CACHE_VERSION and cached.get("hash") == h:
+                return (cached["keep"], cached["labels"], cached["shapes"],
+                        cached["segments"], cached.get("msgs", []))
+        except Exception:
+            pass
+    with ThreadPoolExecutor(max(workers, 1)) as pool:
+        results = list(pool.map(lambda a: verify_image_label(*a),
+                                zip(im_files, label_files)))
+    keep, labels, shapes, segments, msgs = [], [], [], [], []
+    for i, (lb, shape, segs, msg) in enumerate(results):
+        if msg:
+            msgs.append(msg)
+        if lb is None:
+            continue
+        keep.append(i)
+        labels.append(lb)
+        shapes.append(shape)
+        segments.append(segs)
+    out = {"version": CACHE_VERSION, "hash": h, "keep": keep, "labels": labels,
+           "shapes": shapes, "segments": segments, "msgs": msgs}
+    if cache_path:
+        try:
+            np.save(str(cache_path), out, allow_pickle=True)
+        except Exception:
+            pass  # read-only dataset dirs are fine
+    return keep, labels, shapes, segments, msgs
+
+
 class YOLODataset:
     """Index-addressable dataset yielding (image uint8 HWC, labels normalized
     xywh, segments) with the reference augmentation stack."""
@@ -123,16 +215,27 @@ class YOLODataset:
         if not self.im_files:
             raise FileNotFoundError(f"no images found in {path}")
         self.label_files = img2label_paths(self.im_files)
-        loaded = [load_label_file(p) for p in self.label_files]
-        self.labels = [l for l, _ in loaded]
-        self.segments = [s for _, s in loaded]
+        # hash-validated label cache + integrity verification: corrupt
+        # images are dropped, truncated JPEGs restored, labels deduplicated
+        keep, labels, shapes, segments, msgs = load_or_build_label_cache(
+            self.im_files, self.label_files)
+        for m in msgs[:10]:
+            print(m)
+        if len(keep) < len(self.im_files):
+            print(f"dataset: dropped {len(self.im_files) - len(keep)} corrupt images")
+        self.im_files = [self.im_files[i] for i in keep]
+        self.label_files = [self.label_files[i] for i in keep]
+        self.labels = labels
+        self.segments = segments
+        if not self.im_files:
+            raise FileNotFoundError(f"no usable images in {path}")
         if single_cls:
             for l in self.labels:
                 l[:, 0] = 0
         self.n = len(self.im_files)
         self.indices = np.arange(self.n)
         self.mosaic_border = (-img_size // 2, -img_size // 2)
-        self._shapes = None
+        self._shapes = np.asarray(shapes, np.int32) if shapes else None
 
     @property
     def shapes(self):
@@ -163,7 +266,23 @@ class YOLODataset:
         if self.cache == "ram" and i in self._ram:
             im, hw0, hw = self._ram[i]
             return im.copy(), hw0, hw
-        im = cv2.imread(self.im_files[i])
+        im = None
+        if self.cache == "disk":  # decoded-pixels cache (reference :643-651)
+            npy = Path(self.im_files[i]).with_suffix(".npy")
+            if npy.exists():
+                try:
+                    im = np.load(npy)
+                except Exception:
+                    im = None
+            if im is None:
+                im = cv2.imread(self.im_files[i])
+                if im is not None:
+                    try:
+                        np.save(str(npy), im)
+                    except Exception:
+                        pass  # read-only dataset dir
+        if im is None:
+            im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(f"image not found {self.im_files[i]}")
         h0, w0 = im.shape[:2]
@@ -243,6 +362,13 @@ class YOLODataset:
             np.clip(seg, 0, 2 * s, out=seg)
 
         hyp = self.hyp
+        if hyp.get("copy_paste", 0) and segments4:
+            # paste flipped instances onto the canvas before the warp
+            # (reference dataloaders.py:836)
+            from yolov5_tpu.data.augment import copy_paste
+
+            im4, labels4, segments4 = copy_paste(
+                im4, labels4, segments4, p=hyp["copy_paste"], rng=rng)
         geo = dict(degrees=hyp["degrees"], translate=hyp["translate"],
                    scale=hyp["scale"], shear=hyp["shear"],
                    perspective=hyp["perspective"])

@@ -42,7 +42,7 @@ def _scale_to_native(boxes, lb_hw, native_hw):
 
 
 def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
-             max_det=300, max_nms=4096, multi_label=True, verbose=False,
+             max_det=300, max_nms=30720, multi_label=True, verbose=False,
              compute_loss=None, save_json=None, coco91=False):
     """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds.
 

@@ -97,10 +97,18 @@ def _resolve_tile(iou_gt, dead0):
     return alive
 
 
-def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256):
+def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256, max_det=None):
     """Exact greedy NMS over score-sorted boxes, tiled for TPU efficiency.
 
-    Sequential depth is O(K/T + fixpoint iterations) instead of O(K).
+    Sequential depth is O(K/T + fixpoint iterations) instead of O(K), and the
+    tile loop terminates early — without changing the result — when
+    (a) `max_det` boxes are already kept (boxes arrive score-sorted, so the
+    first max_det keeps ARE the final output and later tiles cannot alter
+    them), or (b) the current tile is entirely below the confidence gate
+    (sorted scores: every later tile is too). This is what makes a 30k
+    candidate cap (reference max_nms, utils/general.py:688) affordable:
+    typical images resolve in the first few tiles and never touch the tail.
+
     Returns keep mask (K,) bool.
     """
     k = boxes.shape[0]
@@ -110,25 +118,42 @@ def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256):
         scores = jnp.pad(scores, (0, pad))
     kp = boxes.shape[0]
     num_tiles = kp // tile
-    positions = jnp.arange(kp)
+    # only ALIVE earlier boxes suppress, and once `stop_at` of them exist the
+    # output is settled — so cross-tile suppression needs just a compacted
+    # (stop_at, 4) buffer of kept boxes, O(K·T) total instead of O(K²)
+    stop_at = kp if max_det is None else min(max_det, kp)
 
-    def tile_step(keep, ti):
+    def cond(state):
+        _, _, n_kept, ti, exhausted = state
+        return (ti < num_tiles) & (n_kept < stop_at) & ~exhausted
+
+    def body(state):
+        keep, kept_buf, n_kept, ti, _ = state
         start = ti * tile
         tb = jax.lax.dynamic_slice(boxes, (start, 0), (tile, 4))
         ts = jax.lax.dynamic_slice(scores, (start,), (tile,))
-        # Suppression by boxes kept in earlier tiles (one batched IoU pass).
-        prev_alive = keep & (positions < start)
-        cross_iou = box_iou(boxes, tb)  # (Kp, T)
-        dead0 = jnp.any(prev_alive[:, None] & (cross_iou > iou_thres), axis=0)
+        # Suppression by boxes kept in earlier tiles (small batched IoU pass).
+        buf_valid = jnp.arange(stop_at) < n_kept
+        cross_iou = box_iou(kept_buf, tb)  # (stop_at, T)
+        dead0 = jnp.any(buf_valid[:, None] & (cross_iou > iou_thres), axis=0)
         dead0 = dead0 | (ts <= 0)  # padding / gated-out candidates never keep
         # Within-tile resolution: only earlier-index boxes suppress.
         self_iou = box_iou(tb, tb)
         upper = jnp.arange(tile)[:, None] < jnp.arange(tile)[None, :]
         alive = _resolve_tile(upper & (self_iou > iou_thres), dead0)
         keep = jax.lax.dynamic_update_slice(keep, alive, (start,))
-        return keep, None
+        # append this tile's keeps to the buffer (unique slots via cumsum;
+        # overflow drops are safe: n_kept >= stop_at ends the loop before
+        # any later tile could need them)
+        pos = jnp.where(alive, n_kept + jnp.cumsum(alive) - 1, stop_at)
+        kept_buf = kept_buf.at[pos].set(tb, mode="drop")
+        return keep, kept_buf, n_kept + alive.sum(), ti + 1, ~jnp.any(ts > 0)
 
-    keep, _ = jax.lax.scan(tile_step, jnp.zeros(kp, bool), jnp.arange(num_tiles))
+    keep, _, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros(kp, bool), jnp.zeros((stop_at, 4), boxes.dtype),
+         jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+         jnp.zeros((), bool)))
     return keep[:k]
 
 
@@ -152,7 +177,7 @@ def non_max_suppression(
     multi_label: bool = False,
     agnostic: bool = False,
     max_det: int = 300,
-    max_nms: int = 4096,
+    max_nms: int = 30720,
     nc: int | None = None,
     class_filter=None,
     impl: str = "tiled",
@@ -224,9 +249,13 @@ def non_max_suppression(
         keep = greedy_nms_pallas(nms_boxes.astype(jnp.float32),
                                  top_scores.astype(jnp.float32), iou_thres)
     else:
-        nms_fn = _greedy_nms_scan if impl == "scan" else _greedy_nms_tiled
+        if impl == "scan":
+            nms_fn = lambda b, s: _greedy_nms_scan(b, s, iou_thres)
+        else:
+            nms_fn = lambda b, s: _greedy_nms_tiled(b, s, iou_thres,
+                                                    max_det=max_det)
         keep = jax.vmap(
-            lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32), iou_thres)
+            lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32))
         )(nms_boxes, top_scores)  # (bs, K)
 
     if merge:

@@ -72,20 +72,31 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             correct_box = process_batch(pred[:, :6], labels, iouv)
             stats_box.append((correct_box, pred[:, 4], pred[:, 5], labels[:, 0]))
 
-            # mask branch
+            # mask branch — match at IMAGE resolution like the reference
+            # (segment/val.py: process_mask(upsample=True) + F.interpolate'd
+            # GT): binary IoU at proto resolution is boundary-dominated for
+            # small objects and lands right on the 0.5 matching threshold
             if pred.shape[0] and pred.shape[1] > 6:
                 coeffs = jnp.asarray(pred[:, 6:], jnp.float32)
                 boxes = jnp.asarray(pred[:, :4], jnp.float32)
-                pm = np.asarray(process_mask(proto[b], coeffs, boxes, (s, s))) > 0.5
+                pm = np.asarray(process_mask(proto[b], coeffs, boxes, (s, s),
+                                             upsample=True)) > 0.5
                 pm_flat = pm.reshape(pm.shape[0], -1)
             else:
-                pm_flat = np.zeros((0, hm * wm), bool)
+                pm_flat = np.zeros((0, s * s), bool)
             gm = batch["masks"][b]
             if overlap:
                 nl = len(labels)
                 gt = np.stack([(gm == i + 1) for i in range(nl)], 0) if nl else np.zeros((0, hm, wm), bool)
             else:
                 gt = gm[: len(labels)].astype(bool)
+            if gt.shape[1:] != (s, s) and len(gt):
+                import cv2
+
+                gt = np.stack([
+                    cv2.resize(g.astype(np.float32), (s, s),
+                               interpolation=cv2.INTER_LINEAR) > 0.5
+                    for g in gt])
             correct_mask = process_batch(
                 pred[:, :6], labels, iouv,
                 pred_masks=pm_flat, gt_masks=gt.reshape(gt.shape[0], -1),
