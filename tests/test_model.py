@@ -24,6 +24,8 @@ def test_parse_all_bundled_configs():
     from yolov5_tpu.models.yolo import CONFIG_DIR
 
     for path in sorted(CONFIG_DIR.glob("*.yaml")):
+        if path.stem == "anchors":
+            continue  # anchor preset data tables, not a model graph
         cfg = load_config(path)
         specs, save, ch = parse_graph(cfg)
         assert specs[-1].module in {"Detect", "Segment"}, path.name

@@ -140,6 +140,13 @@ def test_single_vs_multichip_same_result(tiny_model, rng):
     w1 = np.asarray(s1.params["layers_0"]["conv"]["kernel"])
     w8 = np.asarray(s8.params["layers_0"]["conv"]["kernel"])
     np.testing.assert_allclose(w1, w8, atol=1e-5)
+    # BatchNorm statistics are GLOBAL-batch statistics under jit+sharding
+    # (XLA inserts the cross-device mean) — i.e. SyncBatchNorm is the default
+    # semantics here, with no convert_sync_batchnorm step (reference
+    # train.py:269-271 has to opt in)
+    b1 = np.asarray(s1.batch_stats["layers_0"]["bn"]["mean"])
+    b8 = np.asarray(s8.batch_stats["layers_0"]["bn"]["mean"])
+    np.testing.assert_allclose(b1, b8, atol=1e-5)
 
 
 def test_device_cache_step_multichip(tiny_model, rng):

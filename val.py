@@ -26,6 +26,9 @@ def parse_opt():
     p.add_argument("--save-json", default=None, help="write COCO-format detections json")
     p.add_argument("--rect", action="store_true",
                    help="aspect-ratio-bucketed batches (fewer pad pixels)")
+    p.add_argument("--native-space", action="store_true",
+                   help="match predictions in original image coordinates "
+                        "(reference val.py behavior) instead of letterbox space")
     p.add_argument("--device", default="")
     return p.parse_args()
 
@@ -43,7 +46,7 @@ def main():
         batch_size=opt.batch_size, conf_thres=opt.conf_thres,
         iou_thres=opt.iou_thres, max_det=opt.max_det, task=opt.task,
         single_cls=opt.single_cls, workers=opt.workers, half=opt.half,
-        save_json=opt.save_json, rect=opt.rect,
+        save_json=opt.save_json, rect=opt.rect, native_space=opt.native_space,
     )
     print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
 

@@ -6,10 +6,14 @@ and the mosaic composition from utils/dataloaders.py:798-855. Labels ride
 along as (n, 5) [cls, x1, y1, x2, y2] pixel xyxy arrays here (converted from
 normalized xywh at load time); the geometry is plain matrix math.
 
-Round-1 scope note: this pipeline is host numpy (like the reference's CPU
-worker pool). The on-device (jit-fused uint8) version is the planned upgrade
-per SURVEY.md §7.6 — the label-side math is already pure array code so it
-ports directly.
+DERIVED IMPLEMENTATIONS: `random_perspective` (and `box_candidates`)
+transliterate the reference's matrix composition and filter thresholds —
+augmentation geometry is training-semantics and must match exactly for
+recipe parity. The TPU-native redesigns are in data/device_aug.py (batched
+per-image matrices; mosaic + scale/translate warps as separable MXU
+matmuls), which is the default training path via --device-aug; this host
+pipeline remains for multi-core CPU feeding and as the executable spec the
+device versions are tested against.
 """
 
 from __future__ import annotations

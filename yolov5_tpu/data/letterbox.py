@@ -1,9 +1,11 @@
 """Aspect-preserving resize + pad (host side).
 
-Equivalent of the reference `letterbox` (utils/augmentations.py:85-115):
-resize so the long side fits, pad the rest with gray 114 to reach the target
-(optionally only to stride multiples). Returns the image plus the geometry
-needed to map boxes back (`ratio`, `(dw, dh)`).
+DERIVED IMPLEMENTATION: this function is a close transliteration of the
+reference `letterbox` (utils/augmentations.py:85-115) because the geometry
+must match the reference bit-for-bit — any rounding difference shifts every
+box by fractions of a pixel and breaks weight-import parity. The TPU-native
+redesign of this transform lives in data/device_aug.py (separable on-device
+warps); this host version exists for the CPU feeder and inference CLIs.
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
-"""Inference input sources: images/dirs/globs/videos (host side).
+"""Inference input sources (host side): LoadImages over files/dirs/globs/txt
+lists/videos/URLs, LoadStreams over webcams/RTSP with one reader thread per
+source, and LoadScreenshots for screen capture (requires `mss`).
 
-Covers the reference's LoadImages (utils/dataloaders.py:265-371). Streams
-(webcam/RTSP) follow the same iterator contract and can be added on top —
-they need camera hardware this environment lacks.
+Covers the reference's LoadImages / LoadStreams / LoadScreenshots
+(utils/dataloaders.py:208-466). URL sources are downloaded through the
+SSRF-validated fetcher in utils/net.py (reference common.py:817-840).
 """
 
 from __future__ import annotations
@@ -23,10 +25,18 @@ class LoadImages:
     """Iterate (path, letterboxed RGB CHW-free (s,s,3) uint8, original BGR,
     meta) over files, dirs, globs, txt lists and videos."""
 
-    def __init__(self, path, img_size=640, stride=32, auto=False):
+    def __init__(self, path, img_size=640, stride=32, auto=False,
+                 allow_private_urls=False):
         files = []
         for p in path if isinstance(path, (list, tuple)) else [str(path)]:
-            p = str(Path(p).resolve()) if not str(p).startswith(("http://", "https://")) else p
+            if str(p).startswith(("http://", "https://")):
+                # SSRF-validated download to a temp file (reference
+                # check_file URL branch + common.py:817-840 validation)
+                from yolov5_tpu.utils.net import fetch_url_to_file
+
+                p = fetch_url_to_file(str(p), allow_private=allow_private_urls)
+            else:
+                p = str(Path(p).resolve())
             if "*" in p:
                 files.extend(sorted(glob.glob(p, recursive=True)))
             elif os.path.isdir(p):
@@ -142,6 +152,49 @@ class LoadStreams:
                 yield str(s), im[..., ::-1].copy(), im0.copy(), {
                     "ratio": ratio, "pad": pad, "stream": i}
             _t.sleep(0.0)
+
+
+class LoadScreenshots:
+    """Screen-capture source (reference utils/dataloaders.py:208-262).
+
+    source: "screen [number] [left top width height]" — e.g. "screen 0" or
+    "screen 0 100 100 512 256". Requires the optional `mss` package and a
+    display; both absences produce a clear error instead of a stack trace.
+    """
+
+    def __init__(self, source, img_size=640, stride=32, auto=False):
+        try:
+            import mss  # optional dependency
+        except ImportError as e:
+            raise RuntimeError(
+                "screen capture requires the 'mss' package, which is not "
+                "installed in this environment") from e
+        params = str(source).split()[1:]  # drop the 'screen' token
+        self.screen = int(params[0]) if params else 0
+        self.img_size = img_size
+        self.stride = stride
+        self.auto = auto
+        self.frame = 0
+        try:
+            self.sct = mss.mss()
+        except Exception as e:  # no display server
+            raise RuntimeError(f"screen capture unavailable (no display?): {e}") from e
+        mon = self.sct.monitors[self.screen]
+        left, top, width, height = (
+            (int(params[1]), int(params[2]), int(params[3]), int(params[4]))
+            if len(params) == 5 else
+            (mon["left"], mon["top"], mon["width"], mon["height"]))
+        self.monitor = {"left": left, "top": top, "width": width,
+                        "height": height}
+
+    def __iter__(self):
+        while True:
+            im0 = np.asarray(self.sct.grab(self.monitor))[..., :3]  # BGRA->BGR
+            im, ratio, pad = letterbox(im0, self.img_size, auto=self.auto,
+                                       stride=self.stride)
+            yield (f"screen{self.screen}", im[..., ::-1].copy(), im0,
+                   {"ratio": ratio, "pad": pad, "frame": self.frame})
+            self.frame += 1
 
 
 def batched(source: LoadImages, batch_size=1):

@@ -43,15 +43,20 @@ def _scale_to_native(boxes, lb_hw, native_hw):
 
 def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
              max_det=300, max_nms=30720, multi_label=True, verbose=False,
-             compute_loss=None, save_json=None, coco91=False):
+             compute_loss=None, save_json=None, coco91=False,
+             native_space=False):
     """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds.
 
     save_json: path to write COCO-format detections (xywh top-left, native
     image space; image_id from the filename stem like the reference
     save_one_json, val.py:65-108). coco91 remaps class ids to annotation ids.
+    native_space: match predictions against labels in ORIGINAL image
+    coordinates (the reference's scale_boxes path, val.py:282-310) instead of
+    letterbox space. The letterbox transform is a similarity so the two agree
+    up to boundary clipping; this mode exists to quantify that delta.
     """
     json_rows = []
-    shapes = loader.ds.shapes if save_json else None
+    shapes = loader.ds.shapes if (save_json or native_space) else None
     iouv = np.linspace(0.5, 0.95, 10)
     img_size = loader.ds.img_size
 
@@ -91,18 +96,36 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         n_images += bs
         for b in range(bs):
             pred = dets[b]  # (n, 6) xyxy+conf+cls in letterbox px
-            lab = targets[b][valid[b]]
-            # labels: normalized xywh -> letterbox-space xyxy px
             bh, bw = images.shape[1], images.shape[2]
-            if len(lab):
-                xyxy = np.empty((len(lab), 4), np.float32)
-                xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * bw
-                xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * bh
-                xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * bw
-                xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * bh
-                labels = np.concatenate([lab[:, 0:1], xyxy], axis=1)
+            if native_space:
+                # reference val.py:282-310: un-letterbox predictions, take
+                # labels straight from the dataset in original coordinates
+                idx = int(batch["indices"][b])
+                nh, nw = (int(x) for x in loader.ds.shapes[idx])
+                pred = pred.copy()
+                pred[:, :4] = _scale_to_native(pred[:, :4], (bh, bw), (nh, nw))
+                lab = loader.ds.labels[idx]
+                if len(lab):
+                    xyxy = np.empty((len(lab), 4), np.float32)
+                    xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * nw
+                    xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * nh
+                    xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * nw
+                    xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * nh
+                    labels = np.concatenate([lab[:, 0:1].astype(np.float32), xyxy], 1)
+                else:
+                    labels = np.zeros((0, 5), np.float32)
             else:
-                labels = np.zeros((0, 5), np.float32)
+                lab = targets[b][valid[b]]
+                # labels: normalized xywh -> letterbox-space xyxy px
+                if len(lab):
+                    xyxy = np.empty((len(lab), 4), np.float32)
+                    xyxy[:, 0] = (lab[:, 1] - lab[:, 3] / 2) * bw
+                    xyxy[:, 1] = (lab[:, 2] - lab[:, 4] / 2) * bh
+                    xyxy[:, 2] = (lab[:, 1] + lab[:, 3] / 2) * bw
+                    xyxy[:, 3] = (lab[:, 2] + lab[:, 4] / 2) * bh
+                    labels = np.concatenate([lab[:, 0:1], xyxy], axis=1)
+                else:
+                    labels = np.zeros((0, 5), np.float32)
             correct = process_batch(pred, labels, iouv)
             stats.append((correct, pred[:, 4], pred[:, 5], labels[:, 0]))
             if save_json and len(pred):
@@ -112,7 +135,8 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                 stem = Path(batch["paths"][b]).stem
                 image_id = int(stem) if stem.isnumeric() else stem
                 native = shapes[idx]
-                nb_ = _scale_to_native(pred[:, :4], (bh, bw), native)
+                nb_ = (pred[:, :4] if native_space  # already un-letterboxed
+                       else _scale_to_native(pred[:, :4], (bh, bw), native))
                 for (x1, y1, x2, y2), row in zip(nb_, pred):
                     cid = int(row[5])
                     if coco91 and cid < len(COCO80_TO_COCO91):
@@ -187,7 +211,7 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
         workers=8, half=False, verbose=True, task="val", save_json=None,
-        coco91=None, rect=False):
+        coco91=None, rect=False, native_space=False):
     """Standalone validation entry (reference val.py:112-440)."""
     import jax.numpy as jnp
 
@@ -207,5 +231,6 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         coco91 = "coco" in str(data_dict.get("yaml_file", "")).lower()
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
                        iou_thres=iou_thres, max_det=max_det, verbose=verbose,
-                       save_json=save_json, coco91=coco91)
+                       save_json=save_json, coco91=coco91,
+                       native_space=native_space)
     return results

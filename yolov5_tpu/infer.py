@@ -113,6 +113,9 @@ class Detector:
         if w.endswith("_saved_model") or w.endswith(".tflite"):
             self._init_tf_backend(w, imgsz, dtype)
             return
+        if w.startswith(("triton+http://", "triton+https://")):
+            self._init_remote_backend(w, imgsz, dtype)
+            return
         self.backend = "jax"
         if str(weights).endswith(".ckpt"):
             from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
@@ -239,6 +242,28 @@ class Detector:
 
         self._forward = fwd
 
+    def _init_remote_backend(self, w, imgsz, dtype):
+        """KServe/Triton v2 HTTP remote model as the forward (the reference
+        TritonRemoteModel backend, utils/triton.py:11-78). The remote graph
+        must emit decoded (bs, N, no) predictions, like our exports do."""
+        from yolov5_tpu.remote import KServeV2Client
+
+        client = KServeV2Client(w)
+        names = (client.metadata.get("parameters") or {}).get("names")
+        self.names = ({int(k): v for k, v in names.items()} if isinstance(names, dict)
+                      else {})
+        self.nc = int((client.metadata.get("parameters") or {}).get(
+            "nc", max(self.names, default=79) + 1))
+        self.imgsz = imgsz
+        self.dtype = dtype
+        self.model = None
+        self.variables = None
+        self.fused = True
+        self.backend = "triton"
+        self._forward_tta = None
+        self._forward = lambda _, images: jnp.asarray(
+            client.infer(np.asarray(images)))
+
     def warmup(self, batch_size=1):
         im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
         jax.block_until_ready(self._forward(self.variables, im))
@@ -275,7 +300,18 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
     (save_dir / "labels").mkdir(exist_ok=True)
     det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half)
     det.warmup(batch_size)
-    source_iter = LoadImages(source, img_size=imgsz)
+    s = str(source)
+    if s.startswith("screen"):
+        from yolov5_tpu.data.sources import LoadScreenshots
+
+        source_iter = LoadScreenshots(s, img_size=imgsz)
+    elif s.isnumeric() or s.startswith(("rtsp://", "rtmp://")) or s.endswith(".streams"):
+        from yolov5_tpu.data.sources import LoadStreams
+
+        srcs = Path(s).read_text().split() if s.endswith(".streams") else s
+        source_iter = LoadStreams(srcs, img_size=imgsz)
+    else:
+        source_iter = LoadImages(source, img_size=imgsz)
     results = []
     t_total = 0.0
     for group in batched(source_iter, batch_size):

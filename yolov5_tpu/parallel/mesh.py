@@ -4,10 +4,11 @@ The reference's distributed story is torchrun + DDP + NCCL all-reduce
 (/root/reference/train.py:656-667, utils/torch_utils.py:61-70). The TPU-native
 equivalent is declarative: build a `jax.sharding.Mesh`, shard the batch over
 the 'data' axis, replicate params, and let XLA insert the gradient all-reduce
-over ICI inside the single jitted train step. SyncBatchNorm falls out the
-same way once batch stats are computed on the sharded batch and psum'd
-(flax BatchNorm's `axis_name` — not needed at YOLO batch sizes, where
-per-chip batch >= 16).
+over ICI inside the single jitted train step. SyncBatchNorm is the DEFAULT
+semantics here: BatchNorm reduces over the global (sharded) batch axis and
+XLA inserts the cross-device mean, so per-chip batch size never degrades BN
+statistics (the reference must opt in via convert_sync_batchnorm,
+train.py:269-271; asserted in tests/test_train_step.py).
 
 Axes:
   data  — data parallelism (batch dim). The only axis YOLOv5-class CNNs

@@ -50,6 +50,23 @@ def focal_scale(x, z, gamma=1.5, alpha=0.25):
     return alpha_t * (1.0 - p_t) ** gamma
 
 
+def qfocal_scale(x, z, gamma=1.5, alpha=0.25):
+    """Quality-focal modulation (reference QFocalLoss, loss.py:76-98):
+    weights by |z - sigmoid(x)|^gamma so soft targets (IoU-valued obj) are
+    treated as quality scores, not hard classes."""
+    p = jax.nn.sigmoid(x)
+    alpha_t = z * alpha + (1 - z) * (1 - alpha)
+    return alpha_t * jnp.abs(z - p) ** gamma
+
+
+def bce_blur_with_logits(x, z, alpha=0.05, pos_weight=1.0):
+    """BCE that fades the penalty of confident FPs (the reference's
+    BCEBlurWithLogitsLoss, loss.py:11-33 — a 'missing label' mitigation)."""
+    loss = bce_with_logits(x, z, pos_weight)
+    dx = jax.nn.sigmoid(x) - z
+    return loss * (1.0 - jnp.exp((dx - 1.0) / (alpha + 1e-4)))
+
+
 def masked_mean(x, mask, eps=1e-9):
     return (x * mask).sum() / (mask.sum() + eps)
 
@@ -87,6 +104,8 @@ class ComputeLoss:
         lobj = jnp.zeros((), f32)
         lcls = jnp.zeros((), f32)
         fl_gamma = hyp.get("fl_gamma", 0.0)
+        # hyp fl_type selects the focal variant: 'focal' (default) | 'qfocal'
+        fscale = qfocal_scale if hyp.get("fl_type") == "qfocal" else focal_scale
 
         for i, pred in enumerate(raw_maps):
             pred = pred.astype(f32)
@@ -127,7 +146,7 @@ class ComputeLoss:
             pobj = pred[..., 4].reshape(bs, -1)
             obj_bce = bce_with_logits(pobj, tobj, hyp.get("obj_pw", 1.0))
             if fl_gamma > 0:
-                obj_bce = obj_bce * focal_scale(pobj, tobj, fl_gamma)
+                obj_bce = obj_bce * fscale(pobj, tobj, fl_gamma)
             lobj += obj_bce.mean() * self.balance[i]
 
             # classification (one-vs-all BCE), only when multi-class
@@ -137,7 +156,7 @@ class ComputeLoss:
                 pcls = p[..., 5 : 5 + self.nc]
                 cls_bce = bce_with_logits(pcls, tcls_sm, hyp.get("cls_pw", 1.0))
                 if fl_gamma > 0:
-                    cls_bce = cls_bce * focal_scale(pcls, tcls_sm, fl_gamma)
+                    cls_bce = cls_bce * fscale(pcls, tcls_sm, fl_gamma)
                 lcls += masked_mean(cls_bce.mean(-1), m_flat)
 
         lbox *= hyp.get("box", 0.05)

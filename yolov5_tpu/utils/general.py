@@ -65,9 +65,16 @@ def check_dataset(data):
     minus auto-download — this environment has no egress; a clear error
     replaces the download hook)."""
     if isinstance(data, (str, Path)):
-        with open(data) as f:
+        p = Path(data)
+        if not p.exists():
+            # bare preset name ('coco128') -> packaged dataset config
+            cand = (Path(__file__).parent.parent / "data" / "configs" /
+                    p.with_suffix(".yaml").name)
+            if cand.exists():
+                p = cand
+        with open(p) as f:
             d = yaml.safe_load(f)
-        d.setdefault("yaml_file", str(data))
+        d.setdefault("yaml_file", str(p))
     else:
         d = dict(data)
     if "names" in d:
