@@ -314,3 +314,44 @@ def test_copy_paste_wired_into_mosaic(tmp_path):
         _, lab1, _ = ds.load_mosaic(i, np.random.default_rng(i))
         grew += len(lab1) > len(lab0)
     assert grew > 0, "copy_paste never added instances"
+
+
+def test_quad_loader(shapes_root):
+    """--quad (reference collate_fn4): groups of 4 -> one 2s x 2s image with
+    static shapes, quadrant-transformed labels, and 4x label capacity."""
+    root, cfg = shapes_root
+    ds, loader = create_loader(cfg["train"], img_size=160, batch_size=8,
+                               augment=True, max_labels=16, workers=1, seed=0,
+                               quad=True)
+    # disable stochastic augs so labels stay checkable against the originals
+    ds.hyp = dict(ds.hyp, mosaic=0.0, mixup=0.0, flipud=0.0, fliplr=0.0,
+                  degrees=0.0, translate=0.0, scale=0.0, shear=0.0,
+                  perspective=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0)
+    seen_tiled = seen_upsampled = False
+    for b in loader:
+        assert b["images"].shape == (2, 320, 320, 3)
+        assert b["targets"].shape == (2, 64, 5)
+        assert b["valid"].shape == (2, 64)
+        for o in range(2):
+            t = b["targets"][o][b["valid"][o]]
+            assert len(t), "every quad image should carry labels"
+            assert (t[:, 1:] >= 0).all() and (t[:, 1:] <= 1).all()
+            # tiled quads shrink boxes 2x -> max normalized wh tells branch
+            if t[:, 3:5].max() < 0.5:
+                seen_tiled = True
+            else:
+                seen_upsampled = True
+    assert seen_tiled or seen_upsampled
+
+    # determinism: same seed -> identical quad stream
+    _, l2 = create_loader(cfg["train"], img_size=160, batch_size=8,
+                          augment=True, max_labels=16, workers=1, seed=0,
+                          quad=True)
+    l2.ds.hyp = dict(ds.hyp)
+    b1, b2 = next(iter(loader)), next(iter(l2))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    np.testing.assert_array_equal(b1["targets"], b2["targets"])
+
+    with pytest.raises(ValueError):
+        Loader(YOLODataset(cfg["train"], img_size=160, augment=True),
+               batch_size=6, quad=True)  # not divisible by 4

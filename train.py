@@ -44,6 +44,9 @@ def parse_opt():
                         " device (HBM-resident dataset, requires --device-aug),"
                         " or none")
     p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--quad", action="store_true",
+                   help="quad batches: every 4 samples -> one 2x-size image "
+                        "(reference collate_fn4)")
     p.add_argument("--device-aug", action="store_true",
                    help="run HSV/perspective/flip augmentation on-device in the jitted step")
     p.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
@@ -80,6 +83,7 @@ def main():
         image_weights=opt.image_weights,
         cache=False if opt.cache == "none" else opt.cache,
         noautoanchor=opt.noautoanchor, device_aug=opt.device_aug,
+        quad=opt.quad,
     )
 
 

@@ -42,6 +42,54 @@ def augment_hsv(im, hgain=0.015, sgain=0.7, vgain=0.4, rng=None):
     return im
 
 
+class Albumentations:
+    """Optional albumentations pipeline (reference augmentations.py:24-66).
+
+    The package is not a hard dependency: when it is missing (as in this
+    image) the hook is a no-op, exactly like the reference's silent
+    ImportError pass. When present, applies the reference's default recipe
+    (Blur/MedianBlur/ToGray/CLAHE at p=0.01 each) with yolo-format bbox
+    passthrough. im is BGR uint8; labels (n, 5) [cls, x, y, w, h] normalized.
+    """
+
+    def __init__(self, size=640):
+        self.transform = None
+        try:
+            import albumentations as A
+
+            t = [
+                A.Blur(p=0.01),
+                A.MedianBlur(p=0.01),
+                A.ToGray(p=0.01),
+                A.CLAHE(p=0.01),
+                A.RandomBrightnessContrast(p=0.0),
+                A.RandomGamma(p=0.0),
+                A.ImageCompression(quality_lower=75, p=0.0),
+            ]
+            self.transform = A.Compose(
+                t, bbox_params=A.BboxParams(format="yolo",
+                                            label_fields=["class_labels"]))
+        except ImportError:
+            pass
+        except Exception as e:  # pragma: no cover - version drift
+            print(f"albumentations disabled: {e}")
+
+    def __call__(self, im, labels, p=1.0, rng=None):
+        if self.transform is None:
+            return im, labels
+        rng = rng or np.random.default_rng()
+        if rng.random() > p:
+            return im, labels
+        new = self.transform(image=im, bboxes=labels[:, 1:],
+                             class_labels=labels[:, 0])
+        if len(new["class_labels"]) == len(labels):  # skip label-losing runs
+            im = new["image"]
+            labels = np.array([[c, *b] for c, b in
+                               zip(new["class_labels"], new["bboxes"])],
+                              np.float32).reshape(-1, 5)
+        return im, labels
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
     """Keep boxes that survive augmentation meaningfully
     (reference augmentations.py:236-245). box1/box2: (4, n) before/after."""

@@ -25,6 +25,7 @@ from pathlib import Path
 import numpy as np
 
 from yolov5_tpu.data.augment import (
+    Albumentations,
     augment_hsv,
     flip_lr,
     flip_ud,
@@ -236,6 +237,9 @@ class YOLODataset:
         self.indices = np.arange(self.n)
         self.mosaic_border = (-img_size // 2, -img_size // 2)
         self._shapes = np.asarray(shapes, np.int32) if shapes else None
+        # optional albumentations hook (no-op when the package is absent)
+        self.albumentations = (Albumentations(img_size)
+                               if augment and not device_aug else None)
 
     @property
     def shapes(self):
@@ -419,6 +423,9 @@ class YOLODataset:
                 im, labels = flip_lr(im, labels, segments)
 
         labels = self._norm(labels, im.shape[1], im.shape[0])
+        if self.albumentations is not None and self.albumentations.transform:
+            # pixel-level extras (blur/gray/CLAHE) — geometry already final
+            im, labels = self.albumentations(im, labels, rng=rng)
         # drop degenerate rows
         if len(labels):
             keep = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)
@@ -520,6 +527,10 @@ def _mp_build(task):
         batch = ld._tiles_batch(chunk, np.random.default_rng(seed))
     elif kind == "raw":
         batch = ld._raw_batch(chunk)
+    elif kind == "quad":
+        samples = [ld.ds.get_item(int(i), np.random.default_rng(seed + int(i)))
+                   for i in chunk]
+        batch = ld._quad_collate(samples, np.random.default_rng(seed * 31 + 7))
     else:
         samples = [ld.ds.get_item(int(i), np.random.default_rng(seed + int(i)))
                    for i in chunk]
@@ -538,7 +549,7 @@ class Loader:
                  max_labels=128, workers=8, seed=0, shard=(0, 1),
                  drop_last=True, masks=False, mask_ratio=4, overlap=True,
                  native=None, rect=False, stride=32, pad=0.5,
-                 mosaic_tiles=False, raw_images=False):
+                 mosaic_tiles=False, raw_images=False, quad=False):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -559,6 +570,15 @@ class Loader:
         self.overlap = overlap
         self.epoch = 0
         self.weighted_indices = None  # set per-epoch for --image-weights
+        # quad batches (reference collate_fn4): every 4 samples -> one
+        # 2s x 2s image; shapes stay static at (bs/4, 2s, 2s, 3)
+        self.quad = bool(quad)
+        if self.quad:
+            if batch_size % 4:
+                raise ValueError("--quad needs batch_size divisible by 4")
+            if mosaic_tiles or raw_images or rect or masks:
+                raise ValueError("--quad is incompatible with device mosaic, "
+                                 "rect batches and segmentation masks")
         # rect val: aspect-sorted batches, bucketed per-batch shapes
         self.mosaic_tiles = mosaic_tiles  # raw 4-tile batches (device mosaic)
         self.rect = rect and not dataset.augment
@@ -618,7 +638,8 @@ class Loader:
                 real = len(chunk)
                 while len(chunk) < self.bs:
                     chunk.append(chunk[-1])
-                seed = base_seed + bi * 7919 if kind == "tiles" else base_seed
+                seed = (base_seed + bi * 7919 if kind in ("tiles", "quad")
+                        else base_seed)
                 yield (kind, chunk, real, seed)
 
         it = tasks()
@@ -693,6 +714,45 @@ class Loader:
         if self.masks:
             batch["masks"] = gt_masks
         return batch
+
+    def _quad_collate(self, samples, rng):
+        """Quad batches (reference collate_fn4, utils/dataloaders.py:865-891):
+        each group of 4 samples becomes ONE 2s x 2s image — either the first
+        sample bilinearly upsampled 2x (half the time; keeps small objects
+        large) or the four tiled 2x2. Label capacity grows 4x so a full tiled
+        group never truncates; normalized coords make the upsample branch a
+        no-op on labels."""
+        import cv2
+
+        s = self.ds.img_size
+        n_out = len(samples) // 4
+        cap = self.max_labels * 4
+        images = np.zeros((n_out, 2 * s, 2 * s, 3), np.uint8)
+        targets = np.zeros((n_out, cap, 5), np.float32)
+        valid = np.zeros((n_out, cap), bool)
+        for o in range(n_out):
+            group = samples[4 * o : 4 * o + 4]
+            if rng.random() < 0.5:
+                im, lab, _ = group[0]
+                images[o] = cv2.resize(im, (2 * s, 2 * s),
+                                       interpolation=cv2.INTER_LINEAR)[..., ::-1]
+            else:
+                rows = []
+                for q, (im, labels, _) in enumerate(group):
+                    dy, dx = divmod(q, 2)
+                    images[o, dy * s:(dy + 1) * s, dx * s:(dx + 1) * s] = im[..., ::-1]
+                    if len(labels):
+                        l = labels.copy()
+                        l[:, 1] = (l[:, 1] + dx) / 2
+                        l[:, 2] = (l[:, 2] + dy) / 2
+                        l[:, 3:5] /= 2
+                        rows.append(l)
+                lab = np.concatenate(rows) if rows else np.zeros((0, 5), np.float32)
+            n = min(len(lab), cap)
+            if n:
+                targets[o, :n] = lab[:n]
+                valid[o, :n] = True
+        return {"images": images, "targets": targets, "valid": valid}
 
     def _native_batch(self, chunk):
         """C++ batch decode + letterbox; labels re-normalized to letterbox
@@ -835,7 +895,8 @@ class Loader:
         nb = len(self)
         base_seed = self.seed * 100003 + self.epoch * 1009
         kind = ("tiles" if self.mosaic_tiles
-                else "raw" if self.raw_images else "std")
+                else "raw" if self.raw_images
+                else "quad" if self.quad else "std")
         if self.use_processes and not self.native:
             yield from self._mp_iter(idx, nb, base_seed, kind)
             return
@@ -886,7 +947,11 @@ class Loader:
                 while len(samples) < self.bs:  # pad final partial batch
                     samples.append(samples[-1])
                     pad_chunk.append(pad_chunk[-1])
-                batch = self._collate(samples)
+                if self.quad:
+                    batch = self._quad_collate(samples, np.random.default_rng(
+                        (base_seed + bi * 7919) * 31 + 7))
+                else:
+                    batch = self._collate(samples)
                 batch["real"] = real
                 batch["paths"] = [self.ds.im_files[int(i)] for i in pad_chunk]
                 batch["indices"] = np.asarray(pad_chunk, np.int64)
@@ -908,7 +973,8 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                   shuffle=None, max_labels=128, workers=8, seed=0, shard=(0, 1),
                   single_cls=False, masks=False, mask_ratio=4, overlap=True,
                   cache=None, device_aug=False, native=None, rect=False,
-                  stride=32, pad=0.5, mosaic_tiles=False, raw_images=False):
+                  stride=32, pad=0.5, mosaic_tiles=False, raw_images=False,
+                  quad=False):
     """Dataset + loader in one call (reference create_dataloader,
     utils/dataloaders.py:106-164). cache: None = auto (RAM-cache training
     images when they fit comfortably), False = off, 'ram' = force."""
@@ -921,6 +987,7 @@ def create_loader(path, img_size=640, batch_size=16, augment=False, hyp=None,
                     shard=shard, masks=masks, mask_ratio=mask_ratio,
                     overlap=overlap, native=native, rect=rect, stride=stride,
                     pad=pad, mosaic_tiles=mosaic_tiles, raw_images=raw_images,
+                    quad=quad,
                     # val/eval loaders must see every image: final partial
                     # batches are padded (and excluded from scoring via
                     # the 'real' count) instead of dropped

@@ -708,14 +708,20 @@ def decode_level(y, anchors_px, stride, dtype=jnp.float32):
     Returns (bs, ny*nx*na, no).
     """
     b, ny, nx, na, no = y.shape
-    y = jax.nn.sigmoid(y.astype(dtype))
+    # slice the RAW map first and sigmoid each piece inside its own fused
+    # expression: sigmoid(whole-map) would be consumed by three slices
+    # (multi-use), forcing XLA to materialize a full fp32 copy of the map
+    # (~200 MB at P3/b32) — slicing first keeps every value single-use, so
+    # the whole decode fuses into one bf16-read + one fp32-write per level.
+    # sigmoid(slice) == slice(sigmoid) exactly, so this is bit-identical.
+    y = y.astype(dtype)
     gy = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0).astype(dtype)
     gx = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1).astype(dtype)
     grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]  # (ny, nx, 1, 2)
     anchors_px = jnp.asarray(anchors_px, dtype)[None, None, :, :]  # (1, 1, na, 2)
-    xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * stride
-    wh = (y[..., 2:4] * 2.0) ** 2 * anchors_px
-    out = jnp.concatenate([xy, wh, y[..., 4:]], axis=-1)
+    xy = (jax.nn.sigmoid(y[..., 0:2]) * 2.0 - 0.5 + grid) * stride
+    wh = (jax.nn.sigmoid(y[..., 2:4]) * 2.0) ** 2 * anchors_px
+    out = jnp.concatenate([xy, wh, jax.nn.sigmoid(y[..., 4:])], axis=-1)
     return out.reshape(b, ny * nx * na, no)
 
 

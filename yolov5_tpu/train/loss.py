@@ -81,7 +81,8 @@ class ComputeLoss:
       label_smoothing, fl_gamma, anchor_t).
     """
 
-    def __init__(self, anchors_per_stride, nc, hyp, nl=None, autobalance=False):
+    def __init__(self, anchors_per_stride, nc, hyp, nl=None, autobalance=False,
+                 gain=1.0):
         self.anchors = tuple(tuple(map(tuple, a)) for a in anchors_per_stride)
         self.nc = nc
         self.hyp = dict(hyp)
@@ -89,6 +90,9 @@ class ComputeLoss:
         self.balance = BALANCE.get(self.nl, (4.0, 1.0, 0.4))
         self.cp, self.cn = smooth_bce(self.hyp.get("label_smoothing", 0.0))
         self.gr = 1.0
+        # quad mode trains on bs/4 images, so x4 restores the reference's
+        # effective loss scale (train.py:411 `if opt.quad: loss *= 4.`)
+        self.gain = gain
 
     def __call__(self, raw_maps: Sequence[jax.Array], targets, valid):
         """raw_maps: list of (bs, ny, nx, na, no) logits. targets (bs, M, 5)
@@ -162,7 +166,7 @@ class ComputeLoss:
         lbox *= hyp.get("box", 0.05)
         lobj *= hyp.get("obj", 1.0)
         lcls *= hyp.get("cls", 0.5)
-        total = (lbox + lobj + lcls) * bs
+        total = (lbox + lobj + lcls) * bs * self.gain
         return total, {"box": lbox, "obj": lobj, "cls": lcls}
 
 

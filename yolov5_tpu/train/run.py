@@ -105,6 +105,7 @@ def run(
     cache=None,
     noautoanchor=False,
     device_aug=False,
+    quad=False,
     _resume_ckpt=None,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
@@ -141,7 +142,7 @@ def run(
             device_count=device_count, dtype=dtype,
             val_batch_size=val_batch_size, freeze=freeze,
             multi_scale=multi_scale, image_weights=image_weights, cache=cache,
-            noautoanchor=noautoanchor, device_aug=device_aug,
+            noautoanchor=noautoanchor, device_aug=device_aug, quad=quad,
         ).items()
     }
     hyp = load_hyp(hyp)
@@ -203,7 +204,7 @@ def run(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, cache=cache,
-        device_aug=device_aug, raw_images=device_mosaic,
+        device_aug=device_aug, raw_images=device_mosaic, quad=quad,
     )
     max_labels = train_loader.max_labels  # resolved if auto
     if not noautoanchor and not _resume_ckpt and not weights:
@@ -231,9 +232,13 @@ def run(
         raise ValueError(
             "--multi-scale is not supported with --device-aug mosaic "
             "(tile batches carry no 'images' to resize); drop one flag")
+    if quad and device_aug:
+        raise ValueError("--quad composes batches on the host; it is "
+                         "redundant with --device-aug mosaic — drop one flag")
     nl = len(model.stride)
     hyp_scaled = scale_hyp(hyp, nl=nl, nc=nc, imgsz=imgsz)
-    loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled)
+    loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled,
+                          gain=4.0 if quad else 1.0)
     tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
                          steps_per_epoch=nb, batch_size=batch_size,
                          name=optimizer, cos_lr=cos_lr, freeze=freeze)
@@ -316,8 +321,9 @@ def run(
                 if s_ep != imgsz:
                     import cv2
 
+                    t = s_ep * (2 if quad else 1)  # quad batches are 2s x 2s
                     batch["images"] = np.stack(
-                        [cv2.resize(im, (s_ep, s_ep), interpolation=cv2.INTER_LINEAR)
+                        [cv2.resize(im, (t, t), interpolation=cv2.INTER_LINEAR)
                          for im in batch["images"]])
                 return batch
 
