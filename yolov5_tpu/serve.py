@@ -123,3 +123,20 @@ def run(weights="", cfg="yolov5s", models=None, host="0.0.0.0", port=5000,
                                  make_handler(detectors, api_key, conf_thres))
     print(f"serving {sorted(detectors)} on http://{host}:{port}")
     server.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="REST detection API "
+                                "(reference utils/flask_rest_api)")
+    p.add_argument("--weights", default="")
+    p.add_argument("--cfg", default="yolov5s")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--conf-thres", type=float, default=0.25)
+    p.add_argument("--api-key", default=None)
+    a = p.parse_args()
+    run(weights=a.weights, cfg=a.cfg, host=a.host, port=a.port,
+        imgsz=a.imgsz, conf_thres=a.conf_thres, api_key=a.api_key)
