@@ -198,3 +198,20 @@ def test_ram_cache(tmp_path):
     assert 0 in ds._ram
     im2, _, _ = ds.load_image(0)
     np.testing.assert_array_equal(im1, im2)
+
+
+def test_trace_op_table(tmp_path):
+    """trace() + trace_op_table give a per-fusion time table (the reference's
+    torch_utils.profile role, truthful at XLA-fusion granularity)."""
+    import jax
+
+    from yolov5_tpu.utils.profile import trace, trace_op_table
+
+    f = jax.jit(lambda a: (a @ a).sum())
+    x = jnp.ones((256, 256), jnp.float32)
+    _ = float(f(x))  # compile outside the trace
+    with trace(tmp_path):
+        _ = float(f(x))
+    rows = trace_op_table(tmp_path, top=10)
+    assert rows and all(len(r) == 3 for r in rows)
+    assert any(ms >= 0 for _, _, ms in rows)

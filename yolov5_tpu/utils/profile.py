@@ -92,3 +92,57 @@ def trace(log_dir="runs/profile"):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def trace_op_table(log_dir="runs/profile", top=30, device_only=True):
+    """Aggregate a jax.profiler trace into a per-op time table.
+
+    The reference exposes per-layer timing via `torch_utils.profile`; under
+    XLA the truthful unit is the compiled fusion, not the python module, so
+    this parses the trace the `trace()` context wrote and returns
+    [(name, calls, total_ms)] sorted by total time. Works for TPU and CPU
+    traces (xprof's trace.json.gz export).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(
+        str(log_dir) + "/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise FileNotFoundError(f"no trace under {log_dir} - run trace() first")
+    with gzip.open(files[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    if device_only:
+        keep = {p for p, n in pids.items()
+                if "TPU" in n or "GPU" in n or "/device" in n}
+        if not keep:  # CPU traces label differently; fall back to everything
+            keep = set(pids)
+    else:
+        keep = set(pids)
+    dur = collections.Counter()
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in keep:
+            dur[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    return [(n, cnt[n], d / 1e3) for n, d in dur.most_common(top)]
+
+
+def profile_model(model, imgsz=640, batch=1, log_dir="runs/profile", top=25):
+    """Trace one forward pass and print the per-fusion time table."""
+    x = jnp.zeros((batch, imgsz, imgsz, 3), model.dtype)
+    fn = jax.jit(lambda v, im: model.apply(v, im, train=False))
+    out = fn(model.variables, x)  # compile outside the trace
+    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    with trace(log_dir):
+        out = fn(model.variables, x)
+        _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+    rows = trace_op_table(log_dir, top=top)
+    print(f"{'op':60s} {'calls':>6s} {'ms':>9s}")
+    for n, c, ms in rows:
+        print(f"{n[:60]:60s} {c:6d} {ms:9.3f}")
+    return rows
