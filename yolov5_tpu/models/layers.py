@@ -48,50 +48,6 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
-class _PackedStemConv(nn.Module):
-    """6x6/s2 stem conv with `pack` adjacent output columns folded into the
-    channel dim (cout -> pack*cout fills the 128-wide MXU; kernel widens to
-    6 + 2(pack-1), x-stride becomes 2*pack, then a free reshape unpacks).
-
-    YOLO stems convolve 3 input channels into 32 outputs — both dims leave
-    most of the MXU idle and XLA's window emitter makes it the single most
-    expensive op in the graph (~35% of a yolov5s forward). The packed form
-    is bit-equivalent up to bf16 summation order. Param tree matches
-    nn.Conv ("kernel" HWIO + optional "bias"), so checkpoints, torch weight
-    import, and BN fusion are unaffected.
-    """
-
-    c2: int
-    use_bias: bool
-    dtype: Any = jnp.float32
-    pack: int = 4
-
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (6, 6, cin, self.c2),
-            jnp.float32)
-        P = self.pack
-        k = kernel.astype(self.dtype)
-        kw = 6 + 2 * (P - 1)
-        wp = jnp.zeros((6, kw, cin, P, self.c2), self.dtype)
-        for dx in range(P):
-            wp = wp.at[:, 2 * dx : 2 * dx + 6, :, dx, :].set(k)
-        wp = wp.reshape(6, kw, cin, P * self.c2)
-        dn = jax.lax.conv_dimension_numbers(x.shape, wp.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(x, wp, (2, 2 * P), ((2, 2), (2, 2)),
-                                         dimension_numbers=dn)
-        b, h, wq, _ = y.shape
-        y = y.reshape(b, h, wq * P, self.c2)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.c2,),
-                              jnp.float32)
-            y = y + bias.astype(self.dtype)
-        return y
-
-
 class Conv(nn.Module):
     """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
 
@@ -115,23 +71,17 @@ class Conv(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = autopad(self.k, self.p, self.d)
         g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
-        if (self.k == 6 and self.s == 2 and pad == 2 and g == 1
-                and self.d == 1 and x.shape[-1] <= 4
-                and x.shape[1] % 2 == 0 and x.shape[2] % 8 == 0):
-            x = _PackedStemConv(self.c2, use_bias=self.fused,
-                                dtype=self.dtype, name="conv")(x)
-        else:
-            x = nn.Conv(
-                self.c2,
-                (self.k, self.k),
-                strides=(self.s, self.s),
-                padding=((pad, pad), (pad, pad)),
-                feature_group_count=g,
-                kernel_dilation=(self.d, self.d),
-                use_bias=self.fused,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=self.fused,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
         if not self.fused:
             x = nn.BatchNorm(
                 use_running_average=not train,
