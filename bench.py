@@ -60,13 +60,23 @@ def main(batch=32, imgsz=640, k=20):
 
     @jax.jit
     def nms(p):
-        # detect-path defaults, incl. the full 30k candidate cap
+        # detect-path defaults (infer.py:272): conf 0.25, 2048-candidate cap.
+        # The 30720 cap is the eval path's (conf 0.001 multi-label), measured
+        # separately in extras.
         d = non_max_suppression(p, conf_thres=0.25, iou_thres=0.45,
-                                max_det=300)
+                                max_det=300, max_nms=2048)
+        return d.boxes
+
+    @jax.jit
+    def nms_eval(p):
+        d = non_max_suppression(p, conf_thres=0.001, iou_thres=0.6,
+                                max_det=300, max_nms=30720, multi_label=True)
         return d.boxes
 
     t_nms = chain_time(lambda p: nms(p), (pred,), k=10)
     nms_ms = t_nms * 1000 / batch
+    t_nms_eval = chain_time(lambda p: nms_eval(p), (pred,), k=10)
+    nms_eval_ms = t_nms_eval * 1000 / batch
 
     # device-bound rate: K forwards inside one jit (no per-call dispatch).
     # Reduce over the FULL output so XLA cannot dead-code-eliminate any
@@ -115,6 +125,7 @@ def main(batch=32, imgsz=640, k=20):
             "with_dispatch_img_s": round(img_s, 1),
             "with_dispatch_ms_per_img": round(t_fwd * 1000 / batch, 3),
             "nms_ms_per_img_p50": round(nms_ms, 3),
+            "nms_eval30k_ms_per_img_p50": round(nms_eval_ms, 3),
             "batch": batch,
             "device": str(jax.devices()[0]),
         },
