@@ -118,3 +118,41 @@ def test_segment_loss_no_masks_matches_detect(seg_model, rng):
     total, comps = loss_fn(out, targets, valid, None)
     assert "seg" not in comps
     assert np.isfinite(float(total))
+
+
+def test_device_mask_iou_matches_host(rng):
+    """The evaluator's on-device mask-IoU (one MXU matmul, only the (G, P)
+    matrix fetched) must agree with the host-side reference computation
+    (process_mask -> threshold -> flat mask_iou) up to bilinear-resampler
+    boundary differences."""
+    from yolov5_tpu.eval.metrics import mask_iou
+
+    s, hm, wm, nm = 64, 16, 16, 8
+    P, G = 6, 4
+    proto = jnp.asarray(rng.normal(0, 1, (hm, wm, nm)), jnp.float32)
+    coeffs = jnp.asarray(rng.normal(0, 2, (P, nm)), jnp.float32)
+    boxes = jnp.asarray(
+        np.stack([rng.uniform(0, s // 2, P), rng.uniform(0, s // 2, P),
+                  rng.uniform(s // 2, s, P), rng.uniform(s // 2, s, P)], 1),
+        jnp.float32)
+    gm = np.zeros((G, hm, wm), np.uint8)
+    for g in range(G):
+        y0, x0 = rng.integers(0, hm - 6, 2)
+        gm[g, y0:y0 + 6, x0:x0 + 6] = 1
+
+    # device path (mirrors run_segment.mask_iou_dev, non-overlap mode)
+    pm = process_mask(proto, coeffs, boxes, (s, s), upsample=True)
+    pmf = (np.asarray(pm) > 0.5).reshape(P, -1)
+    gt = jax.image.resize(jnp.asarray(gm, jnp.float32), (G, s, s), "bilinear")
+    gtf = (np.asarray(gt) > 0.5).reshape(G, -1)
+    inter = jax.lax.dot_general(
+        jnp.asarray(gtf, jnp.bfloat16), jnp.asarray(pmf, jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    area_g = gtf.sum(1).astype(np.float32)
+    area_p = pmf.sum(1).astype(np.float32)
+    union = area_g[:, None] + area_p[None, :] - np.asarray(inter)
+    iou_dev = np.asarray(inter) / np.maximum(union, 1e-9)
+
+    # host reference on the SAME binary masks: must be exact (integer sums)
+    iou_host = mask_iou(gtf, pmf)
+    np.testing.assert_allclose(iou_dev, iou_host, atol=1e-6)

@@ -98,18 +98,24 @@ def mask_iou(m1, m2, eps=1e-7):
     return inter / (union + eps)
 
 
-def process_batch(detections, labels, iouv, pred_masks=None, gt_masks=None):
+def process_batch(detections, labels, iouv, pred_masks=None, gt_masks=None,
+                  iou=None):
     """Greedy IoU matching at each threshold, uniquified by detection and by
     label (reference utils/metrics.py:224-265).
 
     detections: (N, 6) [x1,y1,x2,y2,conf,cls]; labels: (M, 5) [cls,x1,y1,x2,y2].
     When masks are given ((N,hw) and (M,hw) binary), matches on mask IoU.
+    A precomputed (M, N) `iou` matrix overrides both (used by the seg
+    evaluator, which computes mask IoU on-device — one MXU matmul — instead
+    of shipping full-resolution masks to the host).
     Returns (N, len(iouv)) bool TP matrix.
     """
     correct = np.zeros((detections.shape[0], len(iouv)), bool)
     if detections.shape[0] == 0 or labels.shape[0] == 0:
         return correct
-    if pred_masks is not None and gt_masks is not None:
+    if iou is not None:
+        pass
+    elif pred_masks is not None and gt_masks is not None:
         iou = mask_iou(gt_masks, pred_masks)
     else:
         iou = _box_iou_np(labels[:, 1:5], detections[:, :4])

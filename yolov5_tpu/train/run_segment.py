@@ -45,6 +45,39 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 
         model._seg_eval_forward = forward
 
+    # Mask IoU runs ON DEVICE: pred masks (process_mask at image resolution,
+    # reference segment/val.py upsample=True semantics) and bilinear-upsampled
+    # GT stay in HBM; intersection is one (G, hw) @ (hw, P) MXU matmul and
+    # only the tiny (G, P) IoU matrix crosses to the host. Shipping the
+    # full-resolution masks instead (max_det * s * s floats PER IMAGE) is
+    # catastrophic on remote/tunneled devices.
+    iou_key = f"_seg_mask_iou_{s}_{max_det}_{overlap}"
+    mask_iou_dev = getattr(model, iou_key, None)
+    if mask_iou_dev is None:
+        @jax.jit
+        def mask_iou_dev(proto_b, coeffs, boxes, pvalid, gm, gvalid):
+            pm = process_mask(proto_b, coeffs, boxes, (s, s), upsample=True)
+            pmf = ((pm > 0.5) & pvalid[:, None, None]).reshape(
+                pm.shape[0], -1).astype(jnp.bfloat16)
+            G = gvalid.shape[0]
+            if overlap:
+                inst = jnp.arange(1, G + 1, dtype=gm.dtype)
+                gt = (gm[None] == inst[:, None, None])
+            else:
+                gt = gm.astype(bool)
+            gt = jax.image.resize(gt.astype(jnp.float32), (G, s, s), "bilinear")
+            gtf = ((gt > 0.5) & gvalid[:, None, None]).reshape(
+                G, -1).astype(jnp.bfloat16)
+            inter = jax.lax.dot_general(
+                gtf, pmf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # exact: 0/1 sums < 2^24
+            area_g = jnp.sum(gtf.astype(jnp.float32), axis=1)
+            area_p = jnp.sum(pmf.astype(jnp.float32), axis=1)
+            union = area_g[:, None] + area_p[None, :] - inter
+            return inter / jnp.maximum(union, 1e-9)
+
+        setattr(model, iou_key, mask_iou_dev)
+
     stats_box, stats_mask = [], []
     n_images = 0
     for batch in loader:
@@ -57,6 +90,8 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         bs = int(batch.get("real", images.shape[0]))  # skip pad duplicates
         n_images += bs
         hm, wm = proto.shape[1], proto.shape[2]
+        masks_dev = jnp.asarray(batch["masks"])  # one upload per batch
+        valid_np = np.asarray(batch["valid"])
         for b in range(bs):
             pred = rows[b]
             lab = batch["targets"][b][batch["valid"][b]]
@@ -72,35 +107,29 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             correct_box = process_batch(pred[:, :6], labels, iouv)
             stats_box.append((correct_box, pred[:, 4], pred[:, 5], labels[:, 0]))
 
-            # mask branch — match at IMAGE resolution like the reference
-            # (segment/val.py: process_mask(upsample=True) + F.interpolate'd
-            # GT): binary IoU at proto resolution is boundary-dominated for
-            # small objects and lands right on the 0.5 matching threshold
-            if pred.shape[0] and pred.shape[1] > 6:
-                coeffs = jnp.asarray(pred[:, 6:], jnp.float32)
-                boxes = jnp.asarray(pred[:, :4], jnp.float32)
-                pm = np.asarray(process_mask(proto[b], coeffs, boxes, (s, s),
-                                             upsample=True)) > 0.5
-                pm_flat = pm.reshape(pm.shape[0], -1)
+            # mask branch — matched at IMAGE resolution like the reference
+            # (segment/val.py: process_mask(upsample=True) + interpolated GT;
+            # binary IoU at proto resolution is boundary-dominated for small
+            # objects and lands right on the 0.5 matching threshold). The IoU
+            # matrix itself is computed on-device (see mask_iou_dev above).
+            n_pred = int(pred.shape[0])
+            nm = pred.shape[1] - 6 if pred.shape[1] > 6 else 0
+            nl = len(labels)
+            if n_pred and nm and nl:
+                coeffs = np.zeros((max_det, nm), np.float32)
+                boxes = np.zeros((max_det, 4), np.float32)
+                pvalid = np.zeros((max_det,), bool)
+                coeffs[:n_pred] = pred[:, 6:]
+                boxes[:n_pred] = pred[:, :4]
+                pvalid[:n_pred] = True
+                gvalid = valid_np[b]
+                iou_gp = np.asarray(mask_iou_dev(
+                    proto[b], jnp.asarray(coeffs), jnp.asarray(boxes),
+                    jnp.asarray(pvalid), masks_dev[b], jnp.asarray(gvalid)))
+                correct_mask = process_batch(pred[:, :6], labels, iouv,
+                                             iou=iou_gp[:nl, :n_pred])
             else:
-                pm_flat = np.zeros((0, s * s), bool)
-            gm = batch["masks"][b]
-            if overlap:
-                nl = len(labels)
-                gt = np.stack([(gm == i + 1) for i in range(nl)], 0) if nl else np.zeros((0, hm, wm), bool)
-            else:
-                gt = gm[: len(labels)].astype(bool)
-            if gt.shape[1:] != (s, s) and len(gt):
-                import cv2
-
-                gt = np.stack([
-                    cv2.resize(g.astype(np.float32), (s, s),
-                               interpolation=cv2.INTER_LINEAR) > 0.5
-                    for g in gt])
-            correct_mask = process_batch(
-                pred[:, :6], labels, iouv,
-                pred_masks=pm_flat, gt_masks=gt.reshape(gt.shape[0], -1),
-            )
+                correct_mask = np.zeros((n_pred, len(iouv)), bool)
             stats_mask.append((correct_mask, pred[:, 4], pred[:, 5], labels[:, 0]))
 
     def summarize(stats):
