@@ -109,6 +109,25 @@ def test_decode_level_golden():
     np.testing.assert_allclose(out[0, :, 4:], 0.5, atol=1e-6)
 
 
+def test_decode_segment_coeffs_stay_raw():
+    """Segment decode must sigmoid obj+cls only and pass the nm mask
+    coefficients through RAW (reference models/yolo.py:105-109 concatenates
+    `mask` unsigmoided; the sigmoid happens inside process_mask after
+    coeff@proto). Regression for the round-1 mask-mAP collapse."""
+    nc, nm = 3, 4
+    no = 5 + nc + nm
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(1, 2, 2, 1, no)).astype(np.float32)
+    out = np.asarray(decode_level(jnp.asarray(y), [(10.0, 20.0)], 8, nc=nc))
+    raw = y.reshape(1, 4, no)
+    # scores sigmoided
+    np.testing.assert_allclose(
+        out[..., 4 : 5 + nc], 1 / (1 + np.exp(-raw[..., 4 : 5 + nc])), atol=1e-6
+    )
+    # coefficient tail untouched
+    np.testing.assert_allclose(out[..., 5 + nc :], raw[..., 5 + nc :], atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Torch numerical parity for core blocks
 # ---------------------------------------------------------------------------

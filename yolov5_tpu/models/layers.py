@@ -698,16 +698,22 @@ class Segment(Detect):
         return outs, proto
 
 
-def decode_level(y, anchors_px, stride, dtype=jnp.float32):
+def decode_level(y, anchors_px, stride, dtype=jnp.float32, nc=None):
     """Decode one raw head map to absolute xywh + sigmoid scores.
 
     y: (bs, ny, nx, na, no) raw logits. anchors_px: (na, 2) anchor sizes in
     pixels. Matches the reference decode (models/yolo.py:103-113):
       xy = (2σ(t_xy) - 0.5 + grid) * stride
       wh = (2σ(t_wh))² * anchor
+    Sigmoid applies to obj+cls only; any tail past 5+nc (Segment mask
+    coefficients) passes through RAW, as in the reference's Segment split
+    (models/yolo.py:105-109 — `mask` is concatenated unsigmoided; the
+    sigmoid happens later inside process_mask after coeff@proto). With
+    nc=None the whole tail is treated as scores (plain Detect).
     Returns (bs, ny*nx*na, no).
     """
     b, ny, nx, na, no = y.shape
+    sig_stop = no if nc is None else 5 + nc
     # slice the RAW map first and sigmoid each piece inside its own fused
     # expression: sigmoid(whole-map) would be consumed by three slices
     # (multi-use), forcing XLA to materialize a full fp32 copy of the map
@@ -721,14 +727,17 @@ def decode_level(y, anchors_px, stride, dtype=jnp.float32):
     anchors_px = jnp.asarray(anchors_px, dtype)[None, None, :, :]  # (1, 1, na, 2)
     xy = (jax.nn.sigmoid(y[..., 0:2]) * 2.0 - 0.5 + grid) * stride
     wh = (jax.nn.sigmoid(y[..., 2:4]) * 2.0) ** 2 * anchors_px
-    out = jnp.concatenate([xy, wh, jax.nn.sigmoid(y[..., 4:])], axis=-1)
+    pieces = [xy, wh, jax.nn.sigmoid(y[..., 4:sig_stop])]
+    if sig_stop < no:
+        pieces.append(y[..., sig_stop:])
+    out = jnp.concatenate(pieces, axis=-1)
     return out.reshape(b, ny * nx * na, no)
 
 
-def decode(outs, anchors, strides, dtype=jnp.float32):
+def decode(outs, anchors, strides, dtype=jnp.float32, nc=None):
     """Decode all levels and concat: list[(bs,ny,nx,na,no)] -> (bs, N, no)."""
     zs = [
-        decode_level(y, jnp.asarray(a), s, dtype)
+        decode_level(y, jnp.asarray(a), s, dtype, nc=nc)
         for y, a, s in zip(outs, anchors, strides)
     ]
     return jnp.concatenate(zs, axis=1)

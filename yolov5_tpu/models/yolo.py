@@ -406,8 +406,10 @@ class DetectionModel:
         return self.module.apply(variables, x, train=train, **kw)
 
     def decode(self, raw_maps, dtype=None):
-        """Raw head maps -> (bs, N, no) decoded predictions."""
-        return L.decode(raw_maps, self.anchors, self.stride, dtype or jnp.float32)
+        """Raw head maps -> (bs, N, no) decoded predictions. Score channels
+        (obj+cls) are sigmoided; a Segment coefficient tail stays raw."""
+        return L.decode(raw_maps, self.anchors, self.stride, dtype or jnp.float32,
+                        nc=self.nc)
 
     @property
     def params(self):
