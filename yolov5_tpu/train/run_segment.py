@@ -54,8 +54,7 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
     iou_key = f"_seg_mask_iou_{s}_{max_det}_{overlap}"
     mask_iou_dev = getattr(model, iou_key, None)
     if mask_iou_dev is None:
-        @jax.jit
-        def mask_iou_dev(proto_b, coeffs, boxes, pvalid, gm, gvalid):
+        def _iou_one(proto_b, coeffs, boxes, pvalid, gm, gvalid):
             pm = process_mask(proto_b, coeffs, boxes, (s, s), upsample=True)
             pmf = ((pm > 0.5) & pvalid[:, None, None]).reshape(
                 pm.shape[0], -1).astype(jnp.bfloat16)
@@ -76,6 +75,15 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             union = area_g[:, None] + area_p[None, :] - inter
             return inter / jnp.maximum(union, 1e-9)
 
+        # lax.map = sequential per-image execution (per-image VMEM/HBM
+        # footprint, unlike vmap) but ONE dispatch per val batch — on a
+        # tunneled device the per-call round trip dominates, so batching
+        # the calls is worth ~bs x in eval wall time
+        @jax.jit
+        def mask_iou_dev(proto, coeffs, boxes, pvalid, gms, gvalids):
+            return jax.lax.map(lambda t: _iou_one(*t),
+                               (proto, coeffs, boxes, pvalid, gms, gvalids))
+
         setattr(model, iou_key, mask_iou_dev)
 
     stats_box, stats_mask = [], []
@@ -92,6 +100,22 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         hm, wm = proto.shape[1], proto.shape[2]
         masks_dev = jnp.asarray(batch["masks"])  # one upload per batch
         valid_np = np.asarray(batch["valid"])
+        # one device call computes mask IoU for every image in the batch
+        nb_full = rows[0].shape[1] - 6 if rows and rows[0].shape[1] > 6 else 0
+        iou_all = None
+        if nb_full:
+            B = images.shape[0]
+            coeffs_b = np.zeros((B, max_det, nb_full), np.float32)
+            boxes_b = np.zeros((B, max_det, 4), np.float32)
+            pvalid_b = np.zeros((B, max_det), bool)
+            for b in range(bs):
+                npred = rows[b].shape[0]
+                coeffs_b[b, :npred] = rows[b][:, 6:]
+                boxes_b[b, :npred] = rows[b][:, :4]
+                pvalid_b[b, :npred] = True
+            iou_all = np.asarray(mask_iou_dev(
+                proto, jnp.asarray(coeffs_b), jnp.asarray(boxes_b),
+                jnp.asarray(pvalid_b), masks_dev, jnp.asarray(valid_np)))
         for b in range(bs):
             pred = rows[b]
             lab = batch["targets"][b][batch["valid"][b]]
@@ -113,21 +137,10 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             # objects and lands right on the 0.5 matching threshold). The IoU
             # matrix itself is computed on-device (see mask_iou_dev above).
             n_pred = int(pred.shape[0])
-            nm = pred.shape[1] - 6 if pred.shape[1] > 6 else 0
             nl = len(labels)
-            if n_pred and nm and nl:
-                coeffs = np.zeros((max_det, nm), np.float32)
-                boxes = np.zeros((max_det, 4), np.float32)
-                pvalid = np.zeros((max_det,), bool)
-                coeffs[:n_pred] = pred[:, 6:]
-                boxes[:n_pred] = pred[:, :4]
-                pvalid[:n_pred] = True
-                gvalid = valid_np[b]
-                iou_gp = np.asarray(mask_iou_dev(
-                    proto[b], jnp.asarray(coeffs), jnp.asarray(boxes),
-                    jnp.asarray(pvalid), masks_dev[b], jnp.asarray(gvalid)))
+            if n_pred and iou_all is not None and nl:
                 correct_mask = process_batch(pred[:, :6], labels, iouv,
-                                             iou=iou_gp[:nl, :n_pred])
+                                             iou=iou_all[b][:nl, :n_pred])
             else:
                 correct_mask = np.zeros((n_pred, len(iouv)), bool)
             stats_mask.append((correct_mask, pred[:, 4], pred[:, 5], labels[:, 0]))
@@ -236,14 +249,17 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             loggers.log_metrics(row, epoch)
             print(f"epoch {epoch + 1}/{epochs}  " +
                   "  ".join(f"{k.split('/')[-1]} {v:.4g}" for k, v in row.items()))
-            if fi >= best_fitness:
-                best_fitness = fi
-                if not nosave and val_loader is not None:
-                    save_checkpoint(save_dir / "best.ckpt", jax.device_get(state),
-                                    model, epoch, best_fitness)
+            improved = fi > best_fitness
+            best_fitness = max(best_fitness, fi)
             if not nosave:
-                save_checkpoint(save_dir / "last.ckpt", jax.device_get(state),
-                                model, epoch, best_fitness)
+                # one tunnel download serves both files (strict > like the
+                # fixed detect loop: ties must not rewrite best.ckpt)
+                host_state = jax.device_get(state)
+                save_checkpoint(save_dir / "last.ckpt", host_state, model,
+                                epoch, best_fitness)
+                if improved and val_loader is not None:
+                    save_checkpoint(save_dir / "best.ckpt", host_state, model,
+                                    epoch, best_fitness)
     train_loader.close()
     loggers.close()
     return best_fitness, results, save_dir
