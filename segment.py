@@ -28,6 +28,9 @@ def main():
     t.add_argument("--exist-ok", action="store_true")
     t.add_argument("--noval", action="store_true")
     t.add_argument("--nosave", action="store_true")
+    t.add_argument("--device-aug", action="store_true",
+                   help="device-resident dataset + on-device mosaic/aug/mask raster")
+    t.add_argument("--cache", default=None, choices=["ram", "disk", "device"])
 
     v = sub.add_parser("val")
     v.add_argument("--data", required=True)
@@ -55,7 +58,8 @@ def main():
             cos_lr=opt.cos_lr, seed=opt.seed, workers=opt.workers,
             single_cls=opt.single_cls, mask_ratio=opt.mask_ratio,
             no_overlap=opt.no_overlap, project=opt.project, name=opt.name,
-            exist_ok=opt.exist_ok, noval=opt.noval, nosave=opt.nosave)
+            exist_ok=opt.exist_ok, noval=opt.noval, nosave=opt.nosave,
+            device_aug=opt.device_aug, cache=opt.cache)
     elif opt.cmd == "val":
         from yolov5_tpu.data.dataset import create_loader
         from yolov5_tpu.train.run_segment import evaluate_segment

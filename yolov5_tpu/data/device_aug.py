@@ -468,6 +468,175 @@ def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp):
     )
 
 
+# ---------------------------------------------------------------------------
+# Segment-aware variants: polygon vertices ride the same affine maps as the
+# boxes, boxes are RE-DERIVED from the warped polygons (reference
+# utils/segment/augmentations.py:14-120 — segment2box semantics), and GT
+# instance masks are rasterized on device at the end (ops/rasterize.py).
+# ---------------------------------------------------------------------------
+
+
+def _segment_boxes(seg_px, ow, oh):
+    """Boxes from warped polygon points, reference segment2box semantics:
+    only points INSIDE the output image count; no inside points -> zero box.
+
+    seg_px: (..., V, 2) float px. Returns (xyxy (..., 4), any_inside (...,)).
+    """
+    x, y = seg_px[..., 0], seg_px[..., 1]
+    inside = (x >= 0) & (x <= ow) & (y >= 0) & (y <= oh)
+    big = jnp.float32(1e9)
+    x1 = jnp.where(inside, x, big).min(-1)
+    y1 = jnp.where(inside, y, big).min(-1)
+    x2 = jnp.where(inside, x, -big).max(-1)
+    y2 = jnp.where(inside, y, -big).max(-1)
+    any_in = inside.any(-1)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    return jnp.where(any_in[..., None], boxes, 0.0), any_in
+
+
+def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp):
+    """Segment-carrying mosaic (separable geometry only). Same partner
+    sampling and randomness as mosaic_in_batch; segments (bs, M, V, 2) are
+    polygon vertices normalized to each image's content.
+
+    Returns (images, targets (bs, 4M, 5), segments_out (bs, 4M, V, 2)
+    output-normalized, valid (bs, 4M)).
+    """
+    assert not any(hyp.get(k_, 0) for k_ in ("degrees", "shear", "perspective")), (
+        "device seg mosaic supports the separable scale+translate geometry; "
+        "rotation/shear/perspective hyps use the host pipeline"
+    )
+    bs, s = images.shape[0], images.shape[1]
+    kidx, kc, kw = jax.random.split(key, 3)
+    idx = jnp.concatenate(
+        [jnp.arange(bs, dtype=jnp.int32)[:, None],
+         jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)
+    hw4 = hw[idx].astype(jnp.float32)
+    targets4 = targets[idx]
+    seg4 = segments[idx]  # (bs, 4, M, V, 2)
+    valid4 = valid[idx]
+
+    c = jax.random.uniform(kc, (bs, 2), minval=0.5 * s, maxval=1.5 * s)
+    xc, yc = c[:, 0], c[:, 1]
+    kr, kt = jax.random.split(kw)
+    scale = hyp.get("scale", 0.5)
+    translate = hyp.get("translate", 0.1)
+    r = jax.random.uniform(kr, (bs,), minval=1 - scale, maxval=1 + scale)
+    t = jax.random.uniform(kt, (bs, 2), minval=0.5 - translate,
+                           maxval=0.5 + translate) * s
+
+    # image composition: identical to the detect path (its box labels are
+    # recomputed below from the warped polygons)
+    out, _, _ = mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+
+    A = r[:, None, None]
+    Bx = (t[:, 0] - r * s)[:, None, None]
+    By = (t[:, 1] - r * s)[:, None, None]
+    segs_out, labels, valids = [], [], []
+    for k in range(4):
+        h_k = hw4[:, k, 0][:, None, None]
+        w_k = hw4[:, k, 1][:, None, None]
+        ox, oy = _tile_origins(k, xc[:, None, None], yc[:, None, None], h_k, w_k)
+        sk = seg4[:, k]  # (bs, M, V, 2) content-normalized
+        sx = sk[..., 0] * w_k + ox  # canvas px
+        sy = sk[..., 1] * h_k + oy
+        X = A * sx + Bx  # output px
+        Y = A * sy + By
+        seg_px = jnp.stack([X, Y], axis=-1)  # (bs, M, V, 2)
+        boxes, any_in = _segment_boxes(seg_px, s, s)
+        nw = boxes[..., 2] - boxes[..., 0]
+        nh = boxes[..., 3] - boxes[..., 1]
+        # candidates filter vs the pre-warp box at applied scale (reference
+        # box_candidates(area_thr=0.01) for the segments branch)
+        tk = targets4[:, k]
+        pre_w = tk[..., 3] * w_k[..., 0] * r[:, None]
+        pre_h = tk[..., 4] * h_k[..., 0] * r[:, None]
+        ar = jnp.maximum(nw / (nh + 1e-16), nh / (nw + 1e-16))
+        keep = ((nw > 2) & (nh > 2)
+                & (nw * nh / (pre_w * pre_h + 1e-16) > 0.01) & (ar < 100))
+        labels.append(jnp.stack(
+            [tk[..., 0],
+             (boxes[..., 0] + boxes[..., 2]) / 2 / s,
+             (boxes[..., 1] + boxes[..., 3]) / 2 / s,
+             nw / s, nh / s], axis=-1))
+        segs_out.append(seg_px / s)  # output-normalized
+        valids.append(valid4[:, k] & keep & any_in)
+    return (out, jnp.concatenate(labels, 1), jnp.concatenate(segs_out, 1),
+            jnp.concatenate(valids, 1))
+
+
+def random_flip_lr_seg(images, targets, segments, key, p=0.5):
+    bs = images.shape[0]
+    do = jax.random.uniform(key, (bs,)) < p
+    images = jnp.where(do[:, None, None, None], images[:, :, ::-1, :], images)
+    x = jnp.where(do[:, None], 1.0 - targets[..., 1], targets[..., 1])
+    targets = targets.at[..., 1].set(x)
+    sx = jnp.where(do[:, None, None], 1.0 - segments[..., 0], segments[..., 0])
+    segments = segments.at[..., 0].set(sx)
+    return images, targets, segments
+
+
+def random_flip_ud_seg(images, targets, segments, key, p=0.0):
+    bs = images.shape[0]
+    do = jax.random.uniform(key, (bs,)) < p
+    images = jnp.where(do[:, None, None, None], images[:, ::-1, :, :], images)
+    y = jnp.where(do[:, None], 1.0 - targets[..., 2], targets[..., 2])
+    targets = targets.at[..., 2].set(y)
+    sy = jnp.where(do[:, None, None], 1.0 - segments[..., 1], segments[..., 1])
+    segments = segments.at[..., 1].set(sy)
+    return images, targets, segments
+
+
+def rasterize_batch_masks(segments, valid, hm, wm, overlap=True):
+    """(bs, M, V, 2) output-normalized polygons -> GT masks at (hm, wm).
+
+    overlap: (bs, hm, wm) int32 index-encoded (instance i+1 = label row i),
+    else (bs, M, hm, wm) bool. Sequential over the batch (lax.map) to bound
+    the rasterizer's (M, 2hm, 2wm) working set to one image at a time.
+    """
+    from yolov5_tpu.ops.rasterize import rasterize, rasterize_overlap
+
+    v = segments.shape[2]
+    scale = jnp.asarray([wm, hm], segments.dtype)
+
+    def one(args):
+        seg, val = args
+        nv = jnp.where(val, v, 0).astype(jnp.int32)
+        poly = seg * scale
+        if overlap:
+            return rasterize_overlap(poly, nv, hm, wm)
+        return rasterize(poly, nv, hm, wm)
+
+    return jax.lax.map(one, (segments, valid))
+
+
+def device_augment_seg(batch, key, hyp, mask_shape, overlap=True):
+    """Segment-aware on-device pipeline: mosaic (if raw batch) -> HSV ->
+    flips -> GT-mask rasterization. batch needs images/targets/segments/
+    valid (+hw for the raw-mosaic path). Returns a batch with "masks"."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    images, targets = batch["images"], batch["targets"]
+    segments, valid = batch["segments"], batch["valid"]
+    if "hw" in batch and hyp.get("mosaic", 0) > 0:
+        images, targets, segments, valid = mosaic_in_batch_seg(
+            images, batch["hw"], targets, segments, valid, k1, hyp)
+    if any(hyp.get(k, 0) for k in ("hsv_h", "hsv_s", "hsv_v")):
+        images = augment_hsv(images, k2, hyp.get("hsv_h", 0.015),
+                             hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+    if hyp.get("fliplr", 0):
+        images, targets, segments = random_flip_lr_seg(
+            images, targets, segments, k3, hyp["fliplr"])
+    if hyp.get("flipud", 0):
+        images, targets, segments = random_flip_ud_seg(
+            images, targets, segments, k4, hyp["flipud"])
+    hm, wm = mask_shape
+    masks = rasterize_batch_masks(segments, valid, hm, wm, overlap=overlap)
+    if overlap:
+        masks = masks.astype(jnp.int32)
+    return {"images": images, "targets": targets, "valid": valid,
+            "masks": masks, "segments": segments}
+
+
 def device_augment(batch, key, hyp):
     """Full on-device pipeline: perspective -> HSV -> flips. batch dict of
     images uint8 / targets / valid; returns same structure. Jit-safe."""

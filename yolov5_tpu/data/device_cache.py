@@ -21,12 +21,14 @@ from __future__ import annotations
 import numpy as np
 
 
-def build_cache_arrays(ds, max_labels=128):
+def build_cache_arrays(ds, max_labels=128, segments_v=0):
     """Decode + resize every image once (long side = img_size, content in the
     top-left of an s x s buffer, RGB) and pad labels to fixed shape.
 
     Returns dict of numpy arrays: images (N,s,s,3) u8, hw (N,2) i32,
-    targets (N,M,5) f32, valid (N,M) bool.
+    targets (N,M,5) f32, valid (N,M) bool. With segments_v > 0, polygon
+    segments are padded/resampled to V vertices: segments (N,M,V,2) f16
+    (content-normalized — fp16 is ~0.3 px at 640, well under mask_ratio).
     """
     s = ds.img_size
     n = len(ds)
@@ -34,6 +36,10 @@ def build_cache_arrays(ds, max_labels=128):
     hw = np.zeros((n, 2), np.int32)
     targets = np.zeros((n, max_labels, 5), np.float32)
     valid = np.zeros((n, max_labels), bool)
+    segs = (np.zeros((n, max_labels, segments_v, 2), np.float16)
+            if segments_v else None)
+    if segments_v:
+        from yolov5_tpu.ops.rasterize import resample_polygon
     for i in range(n):
         im, _, (h, w) = ds.load_image(i)
         images[i, :h, :w] = im[..., ::-1]  # BGR -> RGB
@@ -43,12 +49,22 @@ def build_cache_arrays(ds, max_labels=128):
         if m:
             targets[i, :m] = lab[:m]
             valid[i, :m] = True
-    return {"images": images, "hw": hw, "targets": targets, "valid": valid}
+        if segments_v:
+            for j, seg in enumerate(ds.segments[i][:max_labels]):
+                if len(seg) <= segments_v:  # keep exact vertices, pad by
+                    segs[i, j, : len(seg)] = seg  # repeating the last one
+                    segs[i, j, len(seg):] = seg[-1]
+                else:
+                    segs[i, j] = resample_polygon(seg, segments_v)
+    out = {"images": images, "hw": hw, "targets": targets, "valid": valid}
+    if segments_v:
+        out["segments"] = segs
+    return out
 
 
-def cache_nbytes(ds, max_labels=128):
+def cache_nbytes(ds, max_labels=128, segments_v=0):
     s = ds.img_size
-    return len(ds) * (s * s * 3 + max_labels * 24 + 16)
+    return len(ds) * (s * s * 3 + max_labels * (24 + segments_v * 4) + 16)
 
 
 def device_memory_budget(default=16 << 30, fraction=0.35):

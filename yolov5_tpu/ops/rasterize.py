@@ -98,16 +98,16 @@ def rasterize_overlap(polys, n_valid, hm, wm):
     """
     masks = rasterize(polys, n_valid, hm, wm)  # (M, hm, wm)
     areas = polygon_areas(polys, n_valid)
-    order = jnp.argsort(-areas)  # descending; empties (area 0) last
-
-    def paint(canvas, i):
-        mi = masks[i]
-        live = n_valid[i] >= 3
-        canvas = jnp.where(mi & live, (i + 1).astype(jnp.int32), canvas)
-        return canvas, None
-
-    canvas, _ = jax.lax.scan(paint, jnp.zeros((hm, wm), jnp.int32), order)
-    return canvas
+    m = polys.shape[0]
+    # "paint in descending-area order, later overwrites" == at every pixel
+    # the covering instance with the SMALLEST area wins; resolve that with
+    # one argmax over a per-instance rank instead of an M-step scan
+    order = jnp.argsort(-areas)  # descending area
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(jnp.arange(m, dtype=jnp.int32))
+    score = jnp.where(masks, rank[:, None, None] + 1, 0)  # (M, hm, wm)
+    top = jnp.argmax(score, axis=0)  # instance index of the winner
+    covered = score.max(axis=0) > 0
+    return jnp.where(covered, top.astype(jnp.int32) + 1, 0)
 
 
 def resample_polygon(points, n_out):

@@ -173,7 +173,8 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         imgsz=640, optimizer="sgd", cos_lr=False, seed=0, workers=8,
         max_labels=128, single_cls=False, mask_ratio=4, no_overlap=False,
         project="runs/train-seg", name="exp", exist_ok=False, nosave=False,
-        noval=False, save_dir=None, dtype="float32"):
+        noval=False, save_dir=None, dtype="float32", device_aug=False,
+        cache=None, segments_v=32):
     """Train an instance-segmentation model. Returns (best_fitness, results, dir)."""
     init_seeds(seed)
     data_dict = check_dataset(data)
@@ -192,7 +193,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
     nm = dict(model.head_spec.kwargs).get("nm", 32)
 
     rank, world = jax.process_index(), jax.process_count()
-    _, train_loader = create_loader(
+    train_ds, train_loader = create_loader(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, masks=True,
@@ -216,21 +217,67 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                          name=optimizer, cos_lr=cos_lr)
     state = init_train_state(model, tx)
     mesh = make_mesh()
-    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh, has_masks=True)
+
+    # device-resident fast path (mirrors train/run.py): dataset + polygon
+    # segments cached in HBM, mosaic/HSV/flips AND GT-mask rasterization all
+    # inside the jitted step (data/device_aug.py:device_augment_seg). Falls
+    # back to the host pipeline for non-separable geometry or copy_paste
+    # (those augs are host-side) or when the cache doesn't fit.
+    use_device_cache = False
+    cache_host = None
+    separable = not any(hyp.get(k, 0)
+                        for k in ("degrees", "shear", "perspective", "copy_paste"))
+    if device_aug and separable and hyp.get("mosaic", 0) > 0 \
+            and cache in (None, "device"):
+        from yolov5_tpu.data.device_cache import (
+            build_cache_arrays,
+            cache_nbytes,
+            device_memory_budget,
+        )
+
+        need = cache_nbytes(train_ds, max_labels, segments_v=segments_v)
+        if cache == "device" or need <= device_memory_budget():
+            train_ds.cache = None
+            cache_host = build_cache_arrays(train_ds, max_labels,
+                                            segments_v=segments_v)
+            use_device_cache = True
+            print(f"device cache: {len(train_ds)} images + segments "
+                  f"({need / 1e6:.0f} MB) resident in HBM")
+
+    step_fn = make_train_step(
+        model, loss_fn, tx, mesh=mesh, has_masks=True,
+        device_aug_hyp=hyp if use_device_cache else None,
+        device_cache=use_device_cache,
+        mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio), overlap=overlap)
 
     best_fitness, results = 0.0, {}
     print(f"seg training {cfg}: {nb} steps/epoch, imgsz {imgsz}")
     with mesh:
         state = replicate(state, mesh)
+        cache_dev = None
+        if use_device_cache:
+            cache_dev = replicate(cache_host, mesh)
+            cache_host = None
         for epoch in range(epochs):
             train_loader.set_epoch(epoch)
             agg = None
             t0 = time.time()
             keys = ("images", "targets", "valid", "masks")
-            for batch in prefetch_to_mesh(
+            if use_device_cache:
+                from yolov5_tpu.data.device_cache import index_batches
+
+                batches = prefetch_to_mesh(
+                    index_batches(train_loader), mesh, depth=2,
+                    transform=lambda b: {"idx": b["idx"]})
+            else:
+                batches = prefetch_to_mesh(
                     iter(train_loader), mesh, depth=2,
-                    transform=lambda b: {k: b[k] for k in keys}):
-                state, metrics = step_fn(state, batch)
+                    transform=lambda b: {k: b[k] for k in keys})
+            for batch in batches:
+                if use_device_cache:
+                    state, metrics = step_fn(state, batch, cache_dev)
+                else:
+                    state, metrics = step_fn(state, batch)
                 # device-side accumulation: no per-step host sync
                 agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
             n = max(len(train_loader), 1)

@@ -57,7 +57,8 @@ def init_train_state(model, tx) -> TrainState:
 
 
 def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
-                    device_aug_hyp=None, device_cache=False):
+                    device_aug_hyp=None, device_cache=False, mask_shape=None,
+                    overlap=True):
     """Build the jitted train step.
 
     batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
@@ -67,6 +68,8 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
     device_cache: the step takes a third argument — the device-resident
     dataset (data/device_cache.py) — and batch carries only {"idx": (B,)};
     images/labels are gathered from HBM inside the step.
+    mask_shape: (hm, wm) — with has_masks + device_aug_hyp, GT masks are
+    rasterized on device from polygon segments at this resolution.
     """
 
     def step_fn(state: TrainState, batch, cache=None):
@@ -75,7 +78,15 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
             batch = {"images": cache["images"][idx], "hw": cache["hw"][idx],
                      "targets": cache["targets"][idx],
                      "valid": cache["valid"][idx]}
-        if device_aug_hyp is not None:
+            if "segments" in cache:
+                batch["segments"] = cache["segments"][idx]
+        if device_aug_hyp is not None and has_masks:
+            from yolov5_tpu.data.device_aug import device_augment_seg
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            batch = device_augment_seg(batch, key, dict(device_aug_hyp),
+                                       mask_shape, overlap=overlap)
+        elif device_aug_hyp is not None:
             from yolov5_tpu.data.device_aug import (
                 device_augment,
                 mosaic_device,
