@@ -39,7 +39,7 @@ def build_cache_arrays(ds, max_labels=128, segments_v=0):
     segs = (np.zeros((n, max_labels, segments_v, 2), np.float16)
             if segments_v else None)
     if segments_v:
-        from yolov5_tpu.ops.rasterize import resample_polygon
+        from yolov5_tpu.ops.rasterize import densify_polygon
     for i in range(n):
         im, _, (h, w) = ds.load_image(i)
         images[i, :h, :w] = im[..., ::-1]  # BGR -> RGB
@@ -51,11 +51,9 @@ def build_cache_arrays(ds, max_labels=128, segments_v=0):
             valid[i, :m] = True
         if segments_v:
             for j, seg in enumerate(ds.segments[i][:max_labels]):
-                if len(seg) <= segments_v:  # keep exact vertices, pad by
-                    segs[i, j, : len(seg)] = seg  # repeating the last one
-                    segs[i, j, len(seg):] = seg[-1]
-                else:
-                    segs[i, j] = resample_polygon(seg, segments_v)
+                # always a DENSE boundary (original vertices preserved):
+                # downstream visibility filters test vertices only
+                segs[i, j] = densify_polygon(seg, segments_v)
     out = {"images": images, "hw": hw, "targets": targets, "valid": valid}
     if segments_v:
         out["segments"] = segs

@@ -110,6 +110,43 @@ def rasterize_overlap(polys, n_valid, hm, wm):
     return jnp.where(covered, top.astype(jnp.int32) + 1, 0)
 
 
+def densify_polygon(points, n_out):
+    """Host-side helper: grow a polygon to exactly n_out vertices by
+    inserting points along its edges (apportioned by edge length), KEEPING
+    every original vertex — corners stay exact, unlike plain arc-length
+    resampling. Dense boundaries matter because segment2box-style filters
+    test only vertex visibility (reference resamples to 1000 points before
+    warping, utils/segment/augmentations.py); with sparse vertices a large
+    visible shape whose corners all fall outside the crop would be dropped.
+    Falls back to arc resampling when the polygon already has >= n_out."""
+    import numpy as np
+
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    if n == 0:
+        return np.zeros((n_out, 2), np.float32)
+    if n >= n_out:
+        return resample_polygon(pts, n_out)
+    closed = np.concatenate([pts, pts[:1]], 0)
+    seglen = np.linalg.norm(np.diff(closed, axis=0), axis=1)  # (n,)
+    extra = n_out - n
+    if seglen.sum() == 0:
+        return np.concatenate([pts, np.repeat(pts[-1:], extra, 0)])
+    quota = seglen / seglen.sum() * extra
+    cnt = np.floor(quota).astype(int)
+    rem = extra - cnt.sum()
+    order = np.argsort(-(quota - cnt))
+    cnt[order[:rem]] += 1
+    out = []
+    for i in range(n):
+        out.append(pts[i])
+        k = int(cnt[i])
+        if k:
+            t = (np.arange(1, k + 1, dtype=np.float32) / (k + 1))[:, None]
+            out.extend(closed[i] * (1 - t) + closed[i + 1] * t)
+    return np.asarray(out, np.float32)
+
+
 def resample_polygon(points, n_out):
     """Host-side helper: uniformly resample a closed polygon (numpy (n, 2))
     to n_out vertices along its perimeter (reference resample_segments
