@@ -120,6 +120,26 @@ def test_overlap_encoding_matches_host():
     assert agree > 0.95, f"only {agree:.2%} pixels agree with host encoding"
 
 
+def test_densify_keeps_corners():
+    from yolov5_tpu.ops.rasterize import densify_polygon
+
+    sq = np.array([[0, 0], [8, 0], [8, 8], [0, 8]], np.float32)
+    out = densify_polygon(sq, 32)
+    assert out.shape == (32, 2)
+    # every original corner survives exactly
+    for c in sq:
+        assert (np.abs(out - c).sum(1) < 1e-6).any(), c
+    # inserted points lie on the perimeter
+    on_edge = (
+        np.isclose(out[:, 0], 0) | np.isclose(out[:, 0], 8)
+        | np.isclose(out[:, 1], 0) | np.isclose(out[:, 1], 8)
+    )
+    assert on_edge.all()
+    # degenerate inputs don't crash
+    assert densify_polygon(np.zeros((0, 2)), 8).shape == (8, 2)
+    assert densify_polygon(np.array([[1.0, 1.0]]), 8).shape == (8, 2)
+
+
 def test_resample_preserves_shape():
     sq = np.array([[0, 0], [8, 0], [8, 8], [0, 8]], np.float32)
     out = resample_polygon(sq, 32)
