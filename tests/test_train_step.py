@@ -182,3 +182,45 @@ def test_device_cache_step_multichip(tiny_model, rng):
             np.arange(8, 16, dtype=np.int32))}, cache_dev)
     assert np.isfinite(float(metrics["total"]))
     assert int(state.step) == 2
+
+
+def test_epoch_step_matches_per_batch_steps(tiny_model, rng):
+    """make_epoch_step (lax.scan over index batches, one dispatch/epoch)
+    must produce the same final state as the per-batch step sequence."""
+    from yolov5_tpu.train.trainer import make_epoch_step
+
+    m = tiny_model
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=m.nc, imgsz=64)
+    aug_hyp = {**HYP, "mosaic": 1.0, "scale": 0.5, "translate": 0.1,
+               "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    loss_fn = ComputeLoss(m.anchors_per_stride, m.nc, hyp)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=4, batch_size=64)
+    mesh = make_mesh(2)
+    step = make_train_step(m, loss_fn, tx, mesh=mesh,
+                           device_aug_hyp=aug_hyp, device_cache=True)
+    epoch = make_epoch_step(m, loss_fn, tx, mesh, device_aug_hyp=aug_hyp)
+
+    n, s, M = 8, 64, 8
+    cache = {
+        "images": rng.integers(0, 255, (n, s, s, 3)).astype(np.uint8),
+        "hw": np.tile(np.array([[48, 64]], np.int32), (n, 1)),
+        "targets": np.zeros((n, M, 5), np.float32),
+        "valid": np.zeros((n, M), bool),
+    }
+    cache["targets"][:, 0] = [1, 0.5, 0.5, 0.4, 0.4]
+    cache["valid"][:, 0] = True
+    idx = np.arange(8, dtype=np.int32).reshape(2, 4)  # 2 batches of 4
+
+    with mesh:
+        cache_dev = replicate(cache, mesh)
+        s_a = replicate(init_train_state(m, tx), mesh)
+        for b in range(2):
+            s_a, m_a = step(s_a, {"idx": jnp.asarray(idx[b])}, cache_dev)
+        s_b = replicate(init_train_state(m, tx), mesh)
+        s_b, agg = epoch(s_b, jnp.asarray(idx), cache_dev)
+    assert int(s_b.step) == 2
+    # identical randomness (keyed by state.step) -> identical trajectories
+    pa, pb = jax.device_get((s_a.params, s_b.params))
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(la, lb, atol=1e-6)
+    assert np.isfinite(float(agg["total"]))

@@ -270,9 +270,15 @@ def run(
                   f"({need / 1e6:.0f} MB) resident in HBM")
 
     mesh = make_mesh(device_count)
-    step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
-                              device_aug_hyp=hyp if device_aug else None,
-                              device_cache=use_device_cache)
+    if use_device_cache:
+        from yolov5_tpu.train.trainer import make_epoch_step
+
+        epoch_step = make_epoch_step(model, loss_fn, tx, mesh,
+                                     device_aug_hyp=hyp if device_aug else None)
+        step_fn = None
+    else:
+        step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
+                                  device_aug_hyp=hyp if device_aug else None)
     stopper = EarlyStopper(patience)
     callbacks.run("on_train_start")
     print(f"training {cfg} on {data_dict.get('train')}: {len(train_ds)} imgs, "
@@ -329,23 +335,23 @@ def run(
 
             # double-buffered: host prep + H2D run 2 batches ahead of the step
             if use_device_cache:
+                # whole epoch in ONE dispatch: scan over the index batches
+                # (the only per-step host work would be dispatch latency)
                 from yolov5_tpu.data.device_cache import index_batches
 
-                stream = prefetch_to_mesh(
-                    ({"idx": b["idx"]} for b in index_batches(train_loader)),
-                    mesh, depth=2)
+                idx_epoch = np.stack([b["idx"] for b in index_batches(train_loader)])
+                state, agg = epoch_step(state, jnp.asarray(idx_epoch), cache_dev)
+                for _ in range(len(idx_epoch)):
+                    callbacks.run("on_train_batch_end")
             else:
                 stream = prefetch_to_mesh(iter(train_loader), mesh, depth=2,
                                           transform=host_prep)
-            for batch in stream:
-                if use_device_cache:
-                    state, metrics = step_fn(state, batch, cache_dev)
-                else:
+                for batch in stream:
                     state, metrics = step_fn(state, batch)
-                # accumulate on device: a float() here would force a full
-                # host sync every step (disastrous over a TPU tunnel)
-                agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
-                callbacks.run("on_train_batch_end")
+                    # accumulate on device: a float() here would force a full
+                    # host sync every step (disastrous over a TPU tunnel)
+                    agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
+                    callbacks.run("on_train_batch_end")
             n = nb
             agg = jax.device_get(agg)
             dt = time.time() - t0

@@ -244,11 +244,19 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             print(f"device cache: {len(train_ds)} images + segments "
                   f"({need / 1e6:.0f} MB) resident in HBM")
 
-    step_fn = make_train_step(
-        model, loss_fn, tx, mesh=mesh, has_masks=True,
-        device_aug_hyp=hyp if use_device_cache else None,
-        device_cache=use_device_cache,
-        mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio), overlap=overlap)
+    if use_device_cache:
+        from yolov5_tpu.train.trainer import make_epoch_step
+
+        epoch_step = make_epoch_step(
+            model, loss_fn, tx, mesh, has_masks=True, device_aug_hyp=hyp,
+            mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
+            overlap=overlap)
+        step_fn = None
+    else:
+        step_fn = make_train_step(
+            model, loss_fn, tx, mesh=mesh, has_masks=True,
+            mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
+            overlap=overlap)
 
     best_fitness, results = 0.0, {}
     print(f"seg training {cfg}: {nb} steps/epoch, imgsz {imgsz}")
@@ -264,22 +272,18 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             t0 = time.time()
             keys = ("images", "targets", "valid", "masks")
             if use_device_cache:
+                # one dispatch per epoch: scan over the index batches
                 from yolov5_tpu.data.device_cache import index_batches
 
-                batches = prefetch_to_mesh(
-                    index_batches(train_loader), mesh, depth=2,
-                    transform=lambda b: {"idx": b["idx"]})
+                idx_epoch = np.stack([b["idx"] for b in index_batches(train_loader)])
+                state, agg = epoch_step(state, jnp.asarray(idx_epoch), cache_dev)
             else:
-                batches = prefetch_to_mesh(
-                    iter(train_loader), mesh, depth=2,
-                    transform=lambda b: {k: b[k] for k in keys})
-            for batch in batches:
-                if use_device_cache:
-                    state, metrics = step_fn(state, batch, cache_dev)
-                else:
+                for batch in prefetch_to_mesh(
+                        iter(train_loader), mesh, depth=2,
+                        transform=lambda b: {k: b[k] for k in keys}):
                     state, metrics = step_fn(state, batch)
-                # device-side accumulation: no per-step host sync
-                agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
+                    # device-side accumulation: no per-step host sync
+                    agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
             n = max(len(train_loader), 1)
             row = {f"train/{k}": float(v) / n for k, v in jax.device_get(agg).items()}
             row["train/imgs_per_sec"] = n * batch_size / (time.time() - t0)

@@ -56,21 +56,10 @@ def init_train_state(model, tx) -> TrainState:
     )
 
 
-def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
-                    device_aug_hyp=None, device_cache=False, mask_shape=None,
-                    overlap=True):
-    """Build the jitted train step.
-
-    batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
-    (+ "masks" for segmentation). Returns (new_state, metrics).
-    device_aug_hyp: when set, HSV/perspective/flip augmentation runs
-    on-device inside this step (data/device_aug.py), keyed by state.step.
-    device_cache: the step takes a third argument — the device-resident
-    dataset (data/device_cache.py) — and batch carries only {"idx": (B,)};
-    images/labels are gathered from HBM inside the step.
-    mask_shape: (hm, wm) — with has_masks + device_aug_hyp, GT masks are
-    rasterized on device from polygon segments at this resolution.
-    """
+def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
+                   mask_shape=None, overlap=True):
+    """The raw (un-jitted) train-step body shared by make_train_step (one
+    dispatch per batch) and make_epoch_step (lax.scan over the epoch)."""
 
     def step_fn(state: TrainState, batch, cache=None):
         if cache is not None:
@@ -146,6 +135,28 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
         metrics = dict(comps, total=total, grad_norm=optax.global_norm(grads))
         return new_state, metrics
 
+    return step_fn
+
+
+def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
+                    device_aug_hyp=None, device_cache=False, mask_shape=None,
+                    overlap=True):
+    """Build the jitted train step.
+
+    batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
+    (+ "masks" for segmentation). Returns (new_state, metrics).
+    device_aug_hyp: when set, HSV/perspective/flip augmentation runs
+    on-device inside this step (data/device_aug.py), keyed by state.step.
+    device_cache: the step takes a third argument — the device-resident
+    dataset (data/device_cache.py) — and batch carries only {"idx": (B,)};
+    images/labels are gathered from HBM inside the step.
+    mask_shape: (hm, wm) — with has_masks + device_aug_hyp, GT masks are
+    rasterized on device from polygon segments at this resolution.
+    """
+    step_fn = _build_step_fn(model, loss_fn, tx, has_masks=has_masks,
+                             device_aug_hyp=device_aug_hyp,
+                             mask_shape=mask_shape, overlap=overlap)
+
     if mesh is None:
         if device_cache:
             return jax.jit(step_fn, donate_argnums=0)
@@ -166,3 +177,35 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
         out_shardings=(rep, rep),
         donate_argnums=0,
     )
+
+
+def make_epoch_step(model, loss_fn, tx, mesh, has_masks=False,
+                    device_aug_hyp=None, mask_shape=None, overlap=True):
+    """Whole-epoch train step for the device-cached path: lax.scan over the
+    epoch's (nb, bs) index batches — ONE dispatch (and one host round trip)
+    per EPOCH instead of per batch. On a tunneled or busy-host deployment
+    per-step dispatch latency otherwise dominates small models; with the
+    dataset resident in HBM nothing about a step depends on the host, so
+    the entire epoch is a single XLA program.
+
+    Returns jitted (state, idx_epoch (nb, bs) int32, cache) ->
+    (state, metrics summed over the epoch's steps).
+    """
+    step_fn = _build_step_fn(model, loss_fn, tx, has_masks=has_masks,
+                             device_aug_hyp=device_aug_hyp,
+                             mask_shape=mask_shape, overlap=overlap)
+
+    def epoch_fn(state, idx_epoch, cache):
+        def body(st, idx):
+            st, m = step_fn(st, {"idx": idx}, cache)
+            return st, m
+
+        state, ms = jax.lax.scan(body, state, idx_epoch)
+        return state, jax.tree.map(lambda x: x.sum(0), ms)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = replicated_spec(mesh)
+    idx_sharding = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(epoch_fn, in_shardings=(rep, idx_sharding, rep),
+                   out_shardings=(rep, rep), donate_argnums=0)
