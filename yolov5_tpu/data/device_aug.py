@@ -323,20 +323,28 @@ def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
     out = jnp.zeros((bs, s, s, 3), jnp.float32)
     mass_y = []
     mass_x = []
-    imgs_bf = images.astype(jnp.bfloat16)
+    # channel-major tiles: with c in the minor dim the resample einsums
+    # cannot map (h|w, w*c) onto the MXU without a transpose, and XLA falls
+    # back to VPU broadcast-multiply-reduce fusions (profiled at ~7 ms/step
+    # @640). With c as a leading loop each pass is a clean per-image
+    # (s_out, s_in) @ (s_in, s) batched matmul.
+    imgs_cf = images.astype(jnp.bfloat16).transpose(0, 3, 1, 2)  # (n, 3, s, s)
     for k in range(4):
         h_k, w_k = hw4[:, k, 0], hw4[:, k, 1]
         ox, oy = _tile_origins(k, xc, yc, h_k, w_k)
         Wx = _axis_weights(A, Bx, w_k, ox, s, s, 2 * s)  # (bs, s_out, s_in)
         Wy = _axis_weights(A, By, h_k, oy, s, s, 2 * s)
-        tile = imgs_bf[idx[:, k]]
-        # two MXU passes: rows then columns
-        rows = jnp.einsum("boh,bhwc->bowc", Wy.astype(jnp.bfloat16), tile,
-                          preferred_element_type=jnp.float32)
-        contrib = jnp.einsum("bpw,bowc->bopc", Wx.astype(jnp.bfloat16),
-                             rows.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-        out = out + contrib
+        Wy_bf = Wy.astype(jnp.bfloat16)
+        Wx_bf = Wx.astype(jnp.bfloat16)
+        tile_c = imgs_cf[idx[:, k]]  # (bs, 3, s, s)
+        chans = []
+        for c in range(3):
+            rows = jnp.einsum("boh,bhw->bow", Wy_bf, tile_c[:, c],
+                              preferred_element_type=jnp.float32)
+            chans.append(jnp.einsum("bpw,bow->bop", Wx_bf,
+                                    rows.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32))
+        out = out + jnp.stack(chans, axis=-1)
         mass_y.append(Wy.sum(-1))  # (bs, s)
         mass_x.append(Wx.sum(-1))
     # border fill: quadrants are disjoint, so total bilinear mass <= 1 and the
