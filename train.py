@@ -32,7 +32,8 @@ def parse_opt():
     p.add_argument("--resume", default="", help="checkpoint to resume from")
     p.add_argument("--max-labels", type=int, default=None,
                    help="fixed label capacity per image (default: auto from dataset)")
-    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+                   help="compute dtype; bf16 activations with f32 params/stats/loss is the TPU analog of the reference's AMP-on default (train.py:344)")
     p.add_argument("--evolve", type=int, nargs="?", const=30, default=0,
                    help="evolve hyperparameters for N generations")
     p.add_argument("--freeze", type=int, default=0, help="freeze first N layers")

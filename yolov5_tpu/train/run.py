@@ -95,7 +95,7 @@ def run(
     noval=False,
     save_period=-1,
     device_count=None,
-    dtype="float32",
+    dtype="bfloat16",
     val_batch_size=None,
     callbacks: Callbacks | None = None,
     resume="",

@@ -173,7 +173,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         imgsz=640, optimizer="sgd", cos_lr=False, seed=0, workers=8,
         max_labels=128, single_cls=False, mask_ratio=4, no_overlap=False,
         project="runs/train-seg", name="exp", exist_ok=False, nosave=False,
-        noval=False, save_dir=None, dtype="float32", device_aug=False,
+        noval=False, save_dir=None, dtype="bfloat16", device_aug=False,
         cache=None, segments_v=32):
     """Train an instance-segmentation model. Returns (best_fitness, results, dir)."""
     init_seeds(seed)
