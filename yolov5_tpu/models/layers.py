@@ -48,45 +48,6 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
-class _SplitPointwise(nn.Module):
-    """1x1 conv applied to a LIST of inputs without materializing their
-    concat: concat(a, b) @ W == a @ W[:ca] + b @ W[ca:]. XLA's concat on TPU
-    is a real HBM copy (profiled at ~23% of the yolov5s forward as `copy.*`
-    fusions); splitting the kernel turns it into matmul epilogue adds.
-    Parameter tree (kernel/bias shapes and names) is IDENTICAL to the
-    nn.Conv the concat would have fed, so checkpoints and torch imports are
-    unaffected."""
-
-    features: int
-    cin: int
-    use_bias: bool
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, parts):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, self.cin, self.features),
-        )
-        out = None
-        off = 0
-        for p in parts:
-            c = p.shape[-1]
-            w = kernel[0, 0, off : off + c].astype(self.dtype)
-            y = jax.lax.dot_general(
-                p.astype(self.dtype), w,
-                (((p.ndim - 1,), (0,)), ((), ())),
-            )
-            out = y if out is None else out + y
-            off += c
-        assert off == self.cin, (off, self.cin)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            out = out + bias.astype(self.dtype)
-        return out
-
-
 class Conv(nn.Module):
     """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
 
@@ -94,10 +55,6 @@ class Conv(nn.Module):
     (kernel + bias) and skips normalization — the deploy-time fast path.
     ``g = -1`` means depthwise-style grouping gcd(c1, c2) (the reference's
     DWConv, models/common.py:95-103).
-
-    ``x`` may be a list/tuple of tensors for a 1x1 ungrouped conv: they are
-    treated as an implicit channel concat, computed via _SplitPointwise
-    (no concat copy in HBM). Any other configuration concatenates first.
     """
 
     c2: int
@@ -112,29 +69,19 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        split = isinstance(x, (list, tuple))
-        if split and not (self.k == 1 and self.g == 1 and self.s == 1
-                          and self.d == 1):
-            x = jnp.concatenate(list(x), axis=-1)
-            split = False
-        if split:
-            cin = sum(t.shape[-1] for t in x)
-            x = _SplitPointwise(self.c2, cin, use_bias=self.fused,
-                                dtype=self.dtype, name="conv")(list(x))
-        else:
-            pad = autopad(self.k, self.p, self.d)
-            g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
-            x = nn.Conv(
-                self.c2,
-                (self.k, self.k),
-                strides=(self.s, self.s),
-                padding=((pad, pad), (pad, pad)),
-                feature_group_count=g,
-                kernel_dilation=(self.d, self.d),
-                use_bias=self.fused,
-                dtype=self.dtype,
-                name="conv",
-            )(x)
+        pad = autopad(self.k, self.p, self.d)
+        g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=((pad, pad), (pad, pad)),
+            feature_group_count=g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=self.fused,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
         if not self.fused:
             x = nn.BatchNorm(
                 use_running_average=not train,
@@ -235,10 +182,8 @@ class C3(nn.Module):
         for i in range(self.n):
             y1 = self.inner(c_, i)(y1, train)
         y2 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
-        # implicit concat: cv3 is 1x1, so split-kernel application avoids
-        # materializing concat(y1, y2) in HBM (see _SplitPointwise)
         return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv3")(
-            [y1, y2], train
+            jnp.concatenate([y1, y2], axis=-1), train
         )
 
 
@@ -297,9 +242,8 @@ class SPPF(nn.Module):
         y1 = pool(x)
         y2 = pool(y1)
         y3 = pool(y2)
-        # implicit concat via split-kernel 1x1 (no 4-way concat copy in HBM)
         return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(
-            [x, y1, y2, y3], train
+            jnp.concatenate([x, y1, y2, y3], axis=-1), train
         )
 
 
