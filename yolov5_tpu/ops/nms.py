@@ -218,10 +218,24 @@ def non_max_suppression(
 
     k = min(max_nms, n * nc if multi_label else n)
 
+    def select_k(flat, k):
+        """Descending top-k of (bs, M). Exact top_k lowers to an iterative
+        partial sort whose cost scales with k — at the eval path's 30k cap
+        over N*nc it dominates the whole NMS (~4.6 of 4.8 ms/img measured).
+        For large k use the TPU-native approx_max_k (recall ~0.95; the
+        reference itself truncates the pool arbitrarily at max_nms,
+        utils/general.py:688) and restore sortedness — required by the
+        greedy tiles — with one cheap sort of the selected k."""
+        if k <= 8192:
+            return jax.lax.top_k(flat, k)
+        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
+        neg, sidx = jax.lax.sort_key_val(-vals, idx, dimension=-1)
+        return -neg, sidx
+
     if multi_label and nc > 1:
         flat = cls_scores.reshape(bs, n * nc)
         flat = jnp.where(flat > conf_thres, flat, 0.0)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # (bs, K)
+        top_scores, top_idx = select_k(flat, k)  # (bs, K)
         box_idx = top_idx // nc
         cls_idx = (top_idx % nc).astype(jnp.int32)
         top_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
@@ -229,7 +243,7 @@ def non_max_suppression(
     else:
         best = jnp.max(cls_scores, axis=-1)  # (bs, N)
         best = jnp.where(best > conf_thres, best, 0.0)
-        top_scores, box_idx = jax.lax.top_k(best, k)
+        top_scores, box_idx = select_k(best, k)
         cls_idx = jnp.take_along_axis(
             jnp.argmax(cls_scores, axis=-1).astype(jnp.int32), box_idx, axis=1
         )
