@@ -264,19 +264,20 @@ def _tile_origins(k, xc, yc, h, w):
     return xc, yc  # bottom-right
 
 
-def mosaic_in_batch(images, hw, targets, valid, key, hyp):
-    """Fused on-device mosaic for raw batches: partners drawn from WITHIN the
-    batch so the host ships B images instead of 4B tiles.
+def mosaic_in_batch(images, hw, targets, valid, key, hyp, pool=None,
+                    self_idx=None):
+    """Fused on-device mosaic for raw batches.
 
     images: (bs, s, s, 3) uint8 — decoded images resized long-side=s, content
     in the top-left of the buffer; hw (bs, 2) content sizes; targets
     (bs, M, 5) normalized to the content; valid (bs, M).
 
-    Partner sampling from the (shuffled) batch instead of the whole dataset is
-    the one statistical deviation from the reference mosaic
-    (dataloaders.py:806 picks uniform dataset indices); with shuffled epochs
-    the batch IS a uniform sample, and it converts 4x H2D bytes into an
-    on-device gather of whole images.
+    Partner sampling: with `pool` (the device-resident dataset cache dict)
+    and `self_idx` (this batch's indices into it), the 3 partner tiles are
+    drawn uniformly from the WHOLE dataset in HBM — statistically identical
+    to the reference mosaic (dataloaders.py:806). Without a pool, partners
+    come from within the (shuffled) batch — a uniform sample too, but
+    correlated within a step; used when only the batch was shipped.
 
     Geometry: scale+translate (the default hyps) runs on the separable MXU
     path; degrees/shear/perspective fall back to compose+gather
@@ -284,9 +285,17 @@ def mosaic_in_batch(images, hw, targets, valid, key, hyp):
     """
     bs, s = images.shape[0], images.shape[1]
     kidx, kc, kw = jax.random.split(key, 3)
-    idx = jnp.concatenate(
-        [jnp.arange(bs, dtype=jnp.int32)[:, None],
-         jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)  # (bs, 4)
+    if pool is not None:
+        n_pool = pool["images"].shape[0]
+        idx = jnp.concatenate(
+            [self_idx.astype(jnp.int32)[:, None],
+             jax.random.randint(kidx, (bs, 3), 0, n_pool, jnp.int32)], axis=1)
+        images, hw = pool["images"], pool["hw"]
+        targets, valid = pool["targets"], pool["valid"]
+    else:
+        idx = jnp.concatenate(
+            [jnp.arange(bs, dtype=jnp.int32)[:, None],
+             jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)
     hw4 = hw[idx].astype(jnp.float32)          # (bs, 4, 2)
     targets4 = targets[idx]                    # (bs, 4, M, 5)
     valid4 = valid[idx]
@@ -313,8 +322,9 @@ def mosaic_in_batch(images, hw, targets, valid, key, hyp):
 
 def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
     """Deterministic fused mosaic core (separable MXU path); randomness is
-    drawn by the caller. See mosaic_in_batch."""
-    bs, s = images.shape[0], images.shape[1]
+    drawn by the caller. `images` may be the batch or a whole-dataset pool —
+    tiles are gathered by `idx` (bs, 4). See mosaic_in_batch."""
+    bs, s = idx.shape[0], images.shape[1]
     # inverse map: x_canvas = (x_out - Bx) / A with
     A = r
     Bx = t[:, 0] - r * s
@@ -323,12 +333,6 @@ def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
     out = jnp.zeros((bs, s, s, 3), jnp.float32)
     mass_y = []
     mass_x = []
-    # channel-major tiles: with c in the minor dim the resample einsums
-    # cannot map (h|w, w*c) onto the MXU without a transpose, and XLA falls
-    # back to VPU broadcast-multiply-reduce fusions (profiled at ~7 ms/step
-    # @640). With c as a leading loop each pass is a clean per-image
-    # (s_out, s_in) @ (s_in, s) batched matmul.
-    imgs_cf = images.astype(jnp.bfloat16).transpose(0, 3, 1, 2)  # (n, 3, s, s)
     for k in range(4):
         h_k, w_k = hw4[:, k, 0], hw4[:, k, 1]
         ox, oy = _tile_origins(k, xc, yc, h_k, w_k)
@@ -336,7 +340,12 @@ def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
         Wy = _axis_weights(A, By, h_k, oy, s, s, 2 * s)
         Wy_bf = Wy.astype(jnp.bfloat16)
         Wx_bf = Wx.astype(jnp.bfloat16)
-        tile_c = imgs_cf[idx[:, k]]  # (bs, 3, s, s)
+        # gather tiles first (idx may address a whole-dataset pool), then go
+        # channel-major: with c in the minor dim the resample einsums cannot
+        # map onto the MXU without a transpose and XLA falls back to VPU
+        # broadcast-multiply-reduce (~7 ms/step @640). As a channel loop
+        # each pass is a clean per-image (s,s)@(s,s) batched matmul.
+        tile_c = images[idx[:, k]].astype(jnp.bfloat16).transpose(0, 3, 1, 2)
         chans = []
         for c in range(3):
             rows = jnp.einsum("boh,bhw->bow", Wy_bf, tile_c[:, c],
@@ -502,10 +511,12 @@ def _segment_boxes(seg_px, ow, oh):
     return jnp.where(any_in[..., None], boxes, 0.0), any_in
 
 
-def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp):
+def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
+                        pool=None, self_idx=None):
     """Segment-carrying mosaic (separable geometry only). Same partner
-    sampling and randomness as mosaic_in_batch; segments (bs, M, V, 2) are
-    polygon vertices normalized to each image's content.
+    sampling and randomness as mosaic_in_batch (incl. whole-dataset `pool`
+    partner draws); segments (bs, M, V, 2) are polygon vertices normalized
+    to each image's content.
 
     Returns (images, targets (bs, 4M, 5), segments_out (bs, 4M, V, 2)
     output-normalized, valid (bs, 4M)).
@@ -516,12 +527,21 @@ def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp):
     )
     bs, s = images.shape[0], images.shape[1]
     kidx, kc, kw = jax.random.split(key, 3)
-    idx = jnp.concatenate(
-        [jnp.arange(bs, dtype=jnp.int32)[:, None],
-         jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)
+    if pool is not None:
+        n_pool = pool["images"].shape[0]
+        idx = jnp.concatenate(
+            [self_idx.astype(jnp.int32)[:, None],
+             jax.random.randint(kidx, (bs, 3), 0, n_pool, jnp.int32)], axis=1)
+        images, hw = pool["images"], pool["hw"]
+        targets, valid = pool["targets"], pool["valid"]
+        segments = pool["segments"]
+    else:
+        idx = jnp.concatenate(
+            [jnp.arange(bs, dtype=jnp.int32)[:, None],
+             jax.random.randint(kidx, (bs, 3), 0, bs, jnp.int32)], axis=1)
     hw4 = hw[idx].astype(jnp.float32)
     targets4 = targets[idx]
-    seg4 = segments[idx]  # (bs, 4, M, V, 2)
+    seg4 = segments[idx].astype(jnp.float32)  # (bs, 4, M, V, 2)
     valid4 = valid[idx]
 
     c = jax.random.uniform(kc, (bs, 2), minval=0.5 * s, maxval=1.5 * s)
@@ -618,7 +638,8 @@ def rasterize_batch_masks(segments, valid, hm, wm, overlap=True):
     return jax.lax.map(one, (segments, valid))
 
 
-def device_augment_seg(batch, key, hyp, mask_shape, overlap=True):
+def device_augment_seg(batch, key, hyp, mask_shape, overlap=True, pool=None,
+                       self_idx=None):
     """Segment-aware on-device pipeline: mosaic (if raw batch) -> HSV ->
     flips -> GT-mask rasterization. batch needs images/targets/segments/
     valid (+hw for the raw-mosaic path). Returns a batch with "masks"."""
@@ -627,7 +648,8 @@ def device_augment_seg(batch, key, hyp, mask_shape, overlap=True):
     segments, valid = batch["segments"], batch["valid"]
     if "hw" in batch and hyp.get("mosaic", 0) > 0:
         images, targets, segments, valid = mosaic_in_batch_seg(
-            images, batch["hw"], targets, segments, valid, k1, hyp)
+            images, batch["hw"], targets, segments, valid, k1, hyp,
+            pool=pool, self_idx=self_idx)
     if any(hyp.get(k, 0) for k in ("hsv_h", "hsv_s", "hsv_v")):
         images = augment_hsv(images, k2, hyp.get("hsv_h", 0.015),
                              hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))

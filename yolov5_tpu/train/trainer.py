@@ -62,7 +62,9 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
     dispatch per batch) and make_epoch_step (lax.scan over the epoch)."""
 
     def step_fn(state: TrainState, batch, cache=None):
+        self_idx = None
         if cache is not None:
+            self_idx = batch["idx"]
             idx = batch["idx"]
             batch = {"images": cache["images"][idx], "hw": cache["hw"][idx],
                      "targets": cache["targets"][idx],
@@ -74,7 +76,8 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
 
             key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             batch = device_augment_seg(batch, key, dict(device_aug_hyp),
-                                       mask_shape, overlap=overlap)
+                                       mask_shape, overlap=overlap,
+                                       pool=cache, self_idx=self_idx)
         elif device_aug_hyp is not None:
             from yolov5_tpu.data.device_aug import (
                 device_augment,
@@ -88,10 +91,12 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
             if "tiles" in batch or "hw" in batch:
                 # on-device mosaic composes + applies the geometry; the
                 # generic pass below must not warp a second time
-                if "hw" in batch:  # raw batches: partners from within batch
+                if "hw" in batch:  # raw batches: mosaic partners from the
+                    # whole HBM-resident dataset when cached, else the batch
                     images, targets, valid = mosaic_in_batch(
                         batch["images"], batch["hw"], batch["targets"],
-                        batch["valid"], k_mosaic, hyp2)
+                        batch["valid"], k_mosaic, hyp2,
+                        pool=cache, self_idx=self_idx)
                 else:  # explicit 4-tile batches
                     images, targets, valid = mosaic_device(
                         batch["tiles"], batch["tile_hw"], batch["targets4"],
