@@ -1,0 +1,241 @@
+"""Source-loader tests with mocked backends (pattern: reference
+tests/test_invariant_common.py fake-module injection): a fake
+`albumentations` module exercises the Albumentations wrapper end to end,
+a fake cv2.VideoCapture pins LoadStreams' reader/reconnect logic, and a
+real tiny mp4 drives the detect-path video writer.
+"""
+
+import sys
+import time
+import types
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+# ---------------------------------------------------------------------------
+# fake albumentations
+# ---------------------------------------------------------------------------
+
+
+def _fake_albumentations():
+    """Minimal albumentations lookalike: pixel transform (adds a global-RNG
+    noise offset so seeding is observable), yolo bbox passthrough."""
+    mod = types.ModuleType("albumentations")
+
+    class _T:
+        def __init__(self, *a, **k):
+            pass
+
+    for name in ("Blur", "MedianBlur", "ToGray", "CLAHE",
+                 "RandomBrightnessContrast", "RandomGamma", "ImageCompression"):
+        setattr(mod, name, type(name, (_T,), {}))
+
+    class BboxParams:
+        def __init__(self, format=None, label_fields=None):
+            self.format = format
+            self.label_fields = label_fields
+
+    class Compose:
+        def __init__(self, transforms, bbox_params=None):
+            assert bbox_params is not None and bbox_params.format == "yolo"
+            self.transforms = transforms
+
+        def __call__(self, image=None, bboxes=None, class_labels=None):
+            import random
+
+            off = random.randint(0, 255)  # global RNG: seeding must pin this
+            return {
+                "image": np.clip(image.astype(np.int16) + off, 0, 255).astype(np.uint8),
+                "bboxes": [tuple(b) for b in np.asarray(bboxes)],
+                "class_labels": list(np.asarray(class_labels)),
+            }
+
+    mod.BboxParams = BboxParams
+    mod.Compose = Compose
+    return mod
+
+
+def test_albumentations_wrapper_with_fake_module(monkeypatch):
+    monkeypatch.setitem(sys.modules, "albumentations", _fake_albumentations())
+    import importlib
+
+    from yolov5_tpu.data import augment as aug_mod
+
+    alb = aug_mod.Albumentations(64)
+    assert alb.transform is not None, "fake module should enable the wrapper"
+
+    im = np.random.default_rng(0).integers(0, 200, (32, 32, 3), dtype=np.uint8)
+    labels = np.array([[0, 0.5, 0.5, 0.25, 0.25], [1, 0.3, 0.3, 0.1, 0.1]],
+                      np.float32)
+    out1, lab1 = alb(im.copy(), labels.copy(), rng=np.random.default_rng(7))
+    out2, lab2 = alb(im.copy(), labels.copy(), rng=np.random.default_rng(7))
+    out3, _ = alb(im.copy(), labels.copy(), rng=np.random.default_rng(8))
+
+    # labels ride through untouched (pixel-only recipe)
+    np.testing.assert_allclose(lab1, labels, atol=1e-6)
+    assert lab1.shape == (2, 5)
+    # per-item rng seeds albumentations' global RNG: same seed, same pixels
+    np.testing.assert_array_equal(out1, out2)
+    # and the transform actually ran (image changed for at least one seed)
+    assert (out1 != im).any() or (out3 != im).any()
+
+
+def test_albumentations_in_dataset_order(monkeypatch, tmp_path):
+    """The hook runs pre-HSV on the augment path and the item remains
+    reproducible under a fixed seed (advisor round-2 finding)."""
+    monkeypatch.setitem(sys.modules, "albumentations", _fake_albumentations())
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+
+    cfg = generate_shapes_dataset(tmp_path / "d", n_images=4, img_size=96,
+                                  seed=0, splits=(("train", 1.0),))
+    from yolov5_tpu.data.dataset import YOLODataset
+
+    ds = YOLODataset(cfg["train"], img_size=96, augment=True)
+    assert ds.albumentations is not None and ds.albumentations.transform is not None
+    a = ds.get_item(0, rng=np.random.default_rng(3))
+    b = ds.get_item(0, rng=np.random.default_rng(3))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_allclose(a[1], b[1])
+
+
+# ---------------------------------------------------------------------------
+# fake VideoCapture for LoadStreams
+# ---------------------------------------------------------------------------
+
+
+class FakeCap:
+    """Scripted cv2.VideoCapture: N good frames, one retrieve() failure (to
+    trip the reconnect path), then good frames again."""
+
+    def __init__(self, src):
+        self.src = src
+        self.opened = True
+        self.n = 0
+        self.reopens = 0
+        self.fail_at = 5
+
+    def isOpened(self):
+        return self.opened
+
+    def read(self):
+        self.n += 1
+        return True, self._frame()
+
+    def grab(self):
+        return True
+
+    def retrieve(self):
+        self.n += 1
+        if self.n == self.fail_at:
+            return False, None
+        return True, self._frame()
+
+    def open(self, src):
+        self.reopens += 1
+        return True
+
+    def get(self, prop):
+        return 25.0
+
+    def release(self):
+        self.opened = False
+
+    def _frame(self):
+        return np.full((48, 64, 3), self.n % 255, np.uint8)
+
+
+def test_loadstreams_with_fake_capture(monkeypatch):
+    import yolov5_tpu.data.sources as sources_mod
+
+    caps = []
+
+    def make_cap(src):
+        c = FakeCap(src)
+        caps.append(c)
+        return c
+
+    monkeypatch.setattr(cv2, "VideoCapture", make_cap)
+    from yolov5_tpu.data.sources import LoadStreams
+
+    ls = LoadStreams("7", img_size=64)
+    try:
+        assert ls.fps == [25.0]
+        it = iter(ls)
+        path, im, im0, meta = next(it)
+        assert path == "7"
+        assert im.shape[0] == 64 and im.shape[2] == 3
+        assert im0.shape == (48, 64, 3)
+        assert meta["mode"] == "stream" and meta["fps"] == 25.0
+        assert "frame" in meta
+        # let the reader thread hit the scripted retrieve() failure
+        t0 = time.time()
+        while caps[0].reopens == 0 and time.time() - t0 < 5.0:
+            time.sleep(0.01)
+        assert caps[0].reopens >= 1, "signal loss should trigger cap.open()"
+    finally:
+        ls.close()
+    assert not caps[0].opened  # released
+
+
+# ---------------------------------------------------------------------------
+# detect-path video writer
+# ---------------------------------------------------------------------------
+
+TINY = {
+    "nc": 2,
+    "depth_multiple": 0.33,
+    "width_multiple": 0.125,
+    "anchors": [[10, 13, 16, 30, 33, 23], [30, 61, 62, 45, 59, 119]],
+    "backbone": [
+        [-1, 1, "Conv", [64, 6, 2, 2]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 1, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 1, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 1, "SPPF", [512, 5]],
+    ],
+    "head": [
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 1, "C3", [256, False]],
+        [[10, 7], 1, "Detect", ["nc", "anchors"]],
+    ],
+}
+
+
+def test_detect_writes_annotated_video(tmp_path):
+    src = tmp_path / "clip.mp4"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 20.0, (96, 64))
+    rng = np.random.default_rng(0)
+    n_frames = 6
+    for _ in range(n_frames):
+        w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    w.release()
+
+    from yolov5_tpu.infer import run
+
+    results, save_dir = run(
+        weights="", cfg=TINY, source=str(src), imgsz=64, conf_thres=1e-4,
+        max_det=5, save_txt=True, save_conf=True, verbose=False,
+        project=str(tmp_path / "out"), name="v", exist_ok=True)
+    assert len(results) == n_frames
+
+    out_vid = save_dir / "clip.mp4"
+    assert out_vid.exists(), "annotated video must be written"
+    cap = cv2.VideoCapture(str(out_vid))
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 96
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 20.0) < 1.0
+    cap.release()
+    # no stray per-frame image dump alongside the video
+    assert not (save_dir / "clip_0.png").exists()
+    # per-frame txt names are unique: clip_<frame>.txt
+    txts = sorted((save_dir / "labels").glob("clip_*.txt"))
+    if txts:  # random-weight dets may or may not clear conf, but names must be framed
+        assert all(t.stem.split("_")[-1].isdigit() for t in txts)
+        assert len(txts) <= n_frames

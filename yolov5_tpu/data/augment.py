@@ -80,6 +80,13 @@ class Albumentations:
         rng = rng or np.random.default_rng()
         if rng.random() > p:
             return im, labels
+        # albumentations draws from the GLOBAL python/numpy RNGs; reseed them
+        # from the per-item rng so --seed reproducibility survives this hook
+        import random as _random
+
+        s = int(rng.integers(0, 2**31 - 1))
+        _random.seed(s)
+        np.random.seed(s)
         new = self.transform(image=im, bboxes=labels[:, 1:],
                              class_labels=labels[:, 0])
         if len(new["class_labels"]) == len(labels):  # skip label-losing runs

@@ -416,6 +416,14 @@ class YOLODataset:
                 )
 
         if self.augment and not self.device_aug:
+            if self.albumentations is not None and self.albumentations.transform:
+                # pixel-level extras (blur/gray/CLAHE) BEFORE hsv/flips,
+                # matching the reference order (dataloaders.py:692-696);
+                # wrapper wants normalized xywh, flips below want pixel xyxy
+                h_im, w_im = im.shape[:2]
+                lab_n = self._norm(labels, w_im, h_im)
+                im, lab_n = self.albumentations(im, lab_n, rng=rng)
+                labels = self._denorm(lab_n, w_im, h_im)
             augment_hsv(im, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"], rng=rng)
             if rng.random() < hyp["flipud"]:
                 im, labels = flip_ud(im, labels, segments)
@@ -423,9 +431,6 @@ class YOLODataset:
                 im, labels = flip_lr(im, labels, segments)
 
         labels = self._norm(labels, im.shape[1], im.shape[0])
-        if self.albumentations is not None and self.albumentations.transform:
-            # pixel-level extras (blur/gray/CLAHE) — geometry already final
-            im, labels = self.albumentations(im, labels, rng=rng)
         # drop degenerate rows
         if len(labels):
             keep = (labels[:, 3] > 1e-4) & (labels[:, 4] > 1e-4)

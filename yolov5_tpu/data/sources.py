@@ -69,16 +69,20 @@ class LoadImages:
             if im0 is None:
                 continue
             im, ratio, pad = letterbox(im0, self.img_size, auto=self.auto, stride=self.stride)
-            yield f, im[..., ::-1].copy(), im0, {"ratio": ratio, "pad": pad, "frame": 0}
+            yield f, im[..., ::-1].copy(), im0, {
+                "ratio": ratio, "pad": pad, "frame": 0, "mode": "image"}
         for f in self.videos:
             cap = cv2.VideoCapture(f)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
             frame = 0
             while cap.isOpened():
                 ok, im0 = cap.read()
                 if not ok:
                     break
                 im, ratio, pad = letterbox(im0, self.img_size, auto=self.auto, stride=self.stride)
-                yield f, im[..., ::-1].copy(), im0, {"ratio": ratio, "pad": pad, "frame": frame}
+                yield f, im[..., ::-1].copy(), im0, {
+                    "ratio": ratio, "pad": pad, "frame": frame, "mode": "video",
+                    "fps": fps}
                 frame += 1
             cap.release()
 
@@ -106,6 +110,7 @@ class LoadStreams:
         # converted sources (webcam '0' -> device index 0) are kept so signal-
         # loss reopen uses the same form, not the raw string as a filename
         self.cv_sources = [int(s) if str(s).isnumeric() else s for s in sources]
+        self.fps = [30.0] * len(sources)
         for i, src in enumerate(self.cv_sources):
             s = sources[i]
             cap = cv2.VideoCapture(src)
@@ -115,6 +120,7 @@ class LoadStreams:
             if not ok:
                 raise ConnectionError(f"failed to read from stream {s}")
             self.frames[i] = frame
+            self.fps[i] = cap.get(cv2.CAP_PROP_FPS) or 30.0
             self.caps.append(cap)
             t = threading.Thread(target=self._reader, args=(i,), daemon=True)
             t.start()
@@ -142,6 +148,7 @@ class LoadStreams:
     def __iter__(self):
         import time as _t
 
+        frame = 0
         while self.running:
             for i, s in enumerate(self.sources):
                 im0 = self.frames[i]
@@ -150,7 +157,9 @@ class LoadStreams:
                 im, ratio, pad = letterbox(im0, self.img_size, auto=False,
                                            stride=self.stride)
                 yield str(s), im[..., ::-1].copy(), im0.copy(), {
-                    "ratio": ratio, "pad": pad, "stream": i}
+                    "ratio": ratio, "pad": pad, "stream": i, "frame": frame,
+                    "mode": "stream", "fps": self.fps[i]}
+            frame += 1
             _t.sleep(0.0)
 
 

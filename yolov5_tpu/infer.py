@@ -314,6 +314,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         source_iter = LoadImages(source, img_size=imgsz)
     results = []
     t_total = 0.0
+    vid_writers = {}  # source path -> cv2.VideoWriter (reference detect.py:286-310)
     for group in batched(source_iter, batch_size):
         ims = np.stack([g[1] for g in group])
         t0 = time.perf_counter()
@@ -331,7 +332,10 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
                     counts[c] = counts.get(c, 0) + 1
                 desc = ", ".join(f"{n} {det.names.get(c, c)}" for c, n in counts.items())
                 print(f"{path}: {len(r)} dets  {desc}")
+            mode = meta.get("mode", "image")
             stem = Path(path).stem
+            # per-frame txt names for videos/streams (reference detect.py:188)
+            frame_tag = "" if mode == "image" else f"_{meta.get('frame', 0)}"
             if save_txt and len(r):
                 h0, w0 = im0.shape[:2]
                 lines = []
@@ -342,11 +346,28 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
                     if save_conf:
                         row.append(conf)
                     lines.append(" ".join(f"{v:.6g}" for v in row))
-                (save_dir / "labels" / f"{stem}.txt").write_text("\n".join(lines) + "\n")
+                (save_dir / "labels" / f"{stem}{frame_tag}.txt").write_text(
+                    "\n".join(lines) + "\n")
             if save_img:
                 im_out = im0.copy()
                 annotate(im_out, r[:, :4], r[:, 4], r[:, 5], det.names, line_thickness)
-                cv2.imwrite(str(save_dir / Path(path).name), im_out)
+                if mode == "image":
+                    cv2.imwrite(str(save_dir / Path(path).name), im_out)
+                else:
+                    # one VideoWriter per source: annotated mp4 out
+                    # (reference detect.py:286-310)
+                    w = vid_writers.get(path)
+                    if w is None:
+                        h0, w0 = im_out.shape[:2]
+                        safe = stem if mode == "video" else f"stream{meta.get('stream', 0)}"
+                        w = cv2.VideoWriter(
+                            str(save_dir / f"{safe}.mp4"),
+                            cv2.VideoWriter_fourcc(*"mp4v"),
+                            float(meta.get("fps") or 30.0), (w0, h0))
+                        vid_writers[path] = w
+                    w.write(im_out)
+    for w in vid_writers.values():
+        w.release()
     if verbose:
         n = max(len(results), 1)
         print(f"done: {len(results)} images, {1000 * t_total / n:.1f} ms/img "
