@@ -46,7 +46,11 @@ def test_hyp_presets():
     assert h["lr0"] == 0.01 and h["anchor_t"] == 4.0
     assert load_hyp("scratch-med")["mixup"] == 0.1
     assert load_hyp({"lr0": 0.5})["lr0"] == 0.5
-    assert set(PRESETS) >= {"scratch-low", "scratch-med", "scratch-high"}
+    assert set(PRESETS) >= {"scratch-low", "scratch-med", "scratch-high",
+                            "VOC", "Objects365"}
+    # evolved presets carry the reference GA values (data/hyps/hyp.VOC.yaml)
+    assert abs(load_hyp("hyp.VOC")["lr0"] - 0.00334) < 1e-9
+    assert abs(load_hyp("Objects365")["momentum"] - 0.779) < 1e-9
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -145,6 +149,22 @@ def test_plots_smoke(tmp_path, rng):
     v[:, 0] = True
     plot_images(ims, t, v, tmp_path / "batch.png")
     assert (tmp_path / "batch.png").exists()
+
+
+def test_plot_evolve(tmp_path, rng):
+    from yolov5_tpu.train.evolve import META
+    from yolov5_tpu.utils.plots import plot_evolve
+
+    import csv as csvmod
+    csv_path = tmp_path / "evolve.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csvmod.DictWriter(f, fieldnames=["fitness"] + list(META))
+        w.writeheader()
+        for _ in range(12):
+            w.writerow({"fitness": rng.random(),
+                        **{k: rng.random() for k in META}})
+    out = plot_evolve(csv_path)
+    assert (tmp_path / "evolve.png").exists()
 
 
 def test_freeze_mask_and_optimizer(rng):

@@ -102,4 +102,7 @@ def run_evolve(data, cfg="yolov5n", hyp=None, generations=30, epochs=10,
     import yaml
 
     (save_dir / "hyp_evolve.yaml").write_text(yaml.safe_dump(best_hyp))
+    from yolov5_tpu.utils.plots import plot_evolve
+
+    plot_evolve(csv_path)  # evolve.png scatter panel (reference plots.py:247)
     return best_hyp, best_fit

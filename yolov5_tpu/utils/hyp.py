@@ -29,11 +29,38 @@ NO_AUGMENTATION = {**SCRATCH_LOW, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0,
                    "translate": 0.0, "scale": 0.0, "fliplr": 0.0,
                    "mosaic": 0.0, "mixup": 0.0}
 
+# evolved dataset presets (reference data/hyps/hyp.VOC.yaml — GA generation
+# 467 — and hyp.Objects365.yaml; "anchors" = evolved anchors-per-layer count)
+VOC = {
+    **SCRATCH_LOW,
+    "lr0": 0.00334, "lrf": 0.15135, "momentum": 0.74832,
+    "weight_decay": 0.00025, "warmup_epochs": 3.3835,
+    "warmup_momentum": 0.59462, "warmup_bias_lr": 0.18657,
+    "box": 0.02, "cls": 0.21638, "cls_pw": 0.5, "obj": 0.51728,
+    "obj_pw": 0.67198, "anchor_t": 3.3744,
+    "hsv_h": 0.01041, "hsv_s": 0.54703, "hsv_v": 0.27739,
+    "translate": 0.04591, "scale": 0.75544,
+    "mosaic": 0.85834, "mixup": 0.04266, "anchors": 3.412,
+}
+
+OBJECTS365 = {
+    **SCRATCH_LOW,
+    "lr0": 0.00258, "lrf": 0.17, "momentum": 0.779,
+    "weight_decay": 0.00058, "warmup_epochs": 1.33,
+    "warmup_momentum": 0.86, "warmup_bias_lr": 0.0711,
+    "box": 0.0539, "cls": 0.299, "cls_pw": 0.825, "obj": 0.632,
+    "anchor_t": 3.44, "anchors": 3.2,
+    "hsv_h": 0.0188, "hsv_s": 0.704, "hsv_v": 0.36,
+    "translate": 0.0902, "scale": 0.491,
+}
+
 PRESETS = {
     "scratch-low": SCRATCH_LOW,
     "scratch-med": SCRATCH_MED,
     "scratch-high": SCRATCH_HIGH,
     "no-augmentation": NO_AUGMENTATION,
+    "VOC": VOC,
+    "Objects365": OBJECTS365,
 }
 
 

@@ -63,6 +63,46 @@ def plot_results(csv_path, out=None):
 
 
 @soft_fail
+def plot_evolve(evolve_csv):
+    """evolve.csv -> evolve.png: per-hyperparameter scatter of value vs
+    fitness with the best generation marked (reference utils/plots.py:247
+    plot_evolve; adapted to this repo's fitness-first csv schema)."""
+    import csv as csvmod
+
+    plt = _plt()
+    evolve_csv = Path(evolve_csv)
+    with open(evolve_csv) as f:
+        rows = list(csvmod.DictReader(f))
+    if not rows:
+        return
+    fit = np.array([float(r["fitness"]) for r in rows])
+    j = int(np.argmax(fit))
+    keys = [k for k in rows[0] if k != "fitness" and rows[0][k] not in ("", None)]
+    n = len(keys)
+    cols = 5
+    r_ = (n + cols - 1) // cols
+    fig, axes = plt.subplots(r_, cols, figsize=(2.4 * cols, 2.2 * r_),
+                             squeeze=False)
+    for i, k in enumerate(keys):
+        ax = axes[i // cols][i % cols]
+        v = np.array([float(r[k]) if r[k] else np.nan for r in rows])
+        ax.scatter(v, fit, c=fit, cmap="viridis", alpha=0.8, edgecolors="none",
+                   s=14)
+        ax.plot(v[j], fit[j], "k+", markersize=12)
+        ax.set_title(f"{k} = {v[j]:.3g}", fontsize=8)
+        if i % cols:
+            ax.set_yticks([])
+        ax.tick_params(labelsize=6)
+    for m in range(n, r_ * cols):
+        axes[m // cols][m % cols].axis("off")
+    fig.tight_layout()
+    out = evolve_csv.with_suffix(".png")
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
+@soft_fail
 def plot_labels(labels_list, names, save_dir="."):
     """Class histogram + box wh/xy scatter (reference plots.py:55-112)."""
     plt = _plt()
