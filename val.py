@@ -24,11 +24,14 @@ def parse_opt():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--half", action="store_true")
     p.add_argument("--save-json", default=None, help="write COCO-format detections json")
-    p.add_argument("--rect", action="store_true",
-                   help="aspect-ratio-bucketed batches (fewer pad pixels)")
-    p.add_argument("--native-space", action="store_true",
+    p.add_argument("--rect", action=argparse.BooleanOptionalAction, default=True,
+                   help="aspect-ratio-bucketed batches, pad 0.5 — the "
+                        "reference protocol (--no-rect for square letterbox)")
+    p.add_argument("--native-space", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="match predictions in original image coordinates "
-                        "(reference val.py behavior) instead of letterbox space")
+                        "(reference val.py behavior); --no-native-space "
+                        "matches in letterbox space")
     p.add_argument("--device", default="")
     return p.parse_args()
 

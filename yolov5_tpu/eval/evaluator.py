@@ -211,8 +211,13 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
         workers=8, half=False, verbose=True, task="val", save_json=None,
-        coco91=None, rect=False, native_space=False):
-    """Standalone validation entry (reference val.py:112-440)."""
+        coco91=None, rect=True, native_space=True):
+    """Standalone validation entry (reference val.py:112-440).
+
+    Defaults match the reference protocol: rect batching (pad 0.5,
+    val.py:196) and native-space matching (val.py:240). Pass rect=False /
+    native_space=False for square-letterbox / letterbox-space variants
+    (measured delta vs native: ~0.0004 mAP on the shapes sets)."""
     import jax.numpy as jnp
 
     from yolov5_tpu.data.dataset import create_loader
