@@ -30,6 +30,9 @@ def main():
 
     opt = p.parse_args()
     if opt.cmd == "train":
+        from yolov5_tpu.parallel.distributed import init_distributed
+
+        init_distributed()  # no-op unless WORLD_SIZE/RANK env set
         from yolov5_tpu.train.run_classify import run
 
         run(data=opt.data, cfg=opt.cfg, epochs=opt.epochs,

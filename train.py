@@ -60,6 +60,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # multi-host: no-op unless WORLD_SIZE/RANK env set (torchrun contract,
+    # reference train.py:99-101); must run before any device computation
+    from yolov5_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
     if opt.evolve:
         from yolov5_tpu.train.evolve import run_evolve
 

@@ -43,11 +43,34 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch pytree with batch-dim sharding (single
-    pytree-level call: transfers are batched, critical over a TPU tunnel)."""
+    pytree-level call: transfers are batched, critical over a TPU tunnel).
+
+    Multi-process (multi-host) meshes: each process holds only its rank's
+    slice of the global batch (the loader shards by jax.process_index()), so
+    the global array is assembled from process-local data — the JAX analog
+    of the reference's per-rank DistributedSampler batches (train.py:656-667
+    wires torchrun; here the mesh spans all hosts' devices)."""
+    if jax.process_count() > 1:
+        spec = shard_batch_spec(mesh)
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(spec, x, gshape)
+
+        return jax.tree.map(put, batch)
     return jax.device_put(batch, shard_batch_spec(mesh))
 
 
 def replicate(tree, mesh: Mesh):
+    if jax.process_count() > 1:
+        spec = replicated_spec(mesh)
+
+        def put(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(spec, x, x.shape)
+
+        return jax.tree.map(put, tree)
     return jax.device_put(tree, replicated_spec(mesh))
 
 
@@ -72,7 +95,7 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth=2, transform=None):
             for b in iterator:
                 if transform is not None:
                     b = transform(b)
-                q.put(jax.device_put(b, shard_batch_spec(mesh)))
+                q.put(shard_batch(b, mesh))
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
