@@ -355,3 +355,35 @@ def test_quad_loader(shapes_root):
     with pytest.raises(ValueError):
         Loader(YOLODataset(cfg["train"], img_size=160, augment=True),
                batch_size=6, quad=True)  # not divisible by 4
+
+
+def test_mixed_box_polygon_rows_stay_aligned(tmp_path):
+    """A label file mixing 5-number box rows with polygon rows must keep
+    segments row-aligned with labels (box rows synthesize rectangle
+    polygons — reference all-or-none rule; advisor round-2 finding)."""
+    from yolov5_tpu.data.dataset import load_label_file
+
+    lb = tmp_path / "mixed.txt"
+    lb.write_text(
+        "0 0.5 0.5 0.2 0.2\n"                       # box row
+        "1 0.1 0.1 0.3 0.1 0.3 0.3 0.1 0.3\n"       # polygon row
+        "2 0.8 0.8 0.1 0.1\n")                      # box row
+    labels, segments = load_label_file(lb)
+    assert labels.shape == (3, 5)
+    assert len(segments) == 3, "every row needs a segment when any is polygon"
+    # box rows became rectangle polygons matching their boxes
+    for j in (0, 2):
+        c, x, y, w, h = labels[j]
+        seg = segments[j]
+        assert seg.shape == (4, 2)
+        np.testing.assert_allclose(seg.min(0), [x - w / 2, y - h / 2], atol=1e-6)
+        np.testing.assert_allclose(seg.max(0), [x + w / 2, y + h / 2], atol=1e-6)
+    # polygon row kept verbatim
+    assert segments[1].shape == (4, 2)
+    np.testing.assert_allclose(segments[1][0], [0.1, 0.1], atol=1e-6)
+
+    # pure-box files still report no segments (detect path unchanged)
+    lb2 = tmp_path / "boxes.txt"
+    lb2.write_text("0 0.5 0.5 0.2 0.2\n1 0.3 0.3 0.1 0.1\n")
+    labels2, segments2 = load_label_file(lb2)
+    assert labels2.shape == (2, 5) and segments2 == []

@@ -310,3 +310,57 @@ def test_mosaic_in_batch_in_train_step(rng):
     for _ in range(2):
         state, metrics = step(state, dict(batch))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_mosaic_probability_plain_branch(rng):
+    """hyp['mosaic'] < 1: non-selected images get the reference's plain
+    letterbox + scale/translate branch inside the same fused pass — self
+    content centered, no partner pixels, only self labels survive."""
+    from yolov5_tpu.data.device_aug import mosaic_in_batch
+
+    s = 64
+    bs = 8
+    images = np.full((bs, s, s, 3), 114, np.uint8)
+    hw = np.zeros((bs, 2), np.int32)
+    targets = np.zeros((bs, 4, 5), np.float32)
+    valid = np.zeros((bs, 4), bool)
+    for b in range(bs):
+        h, w = 48, 64
+        images[b, :h, :w] = 20 + 20 * b  # unique gray per image
+        hw[b] = (h, w)
+        targets[b, 0] = [b % 3, 0.5, 0.5, 0.5, 0.5]
+        valid[b, 0] = True
+
+    # p ~ 0: every image takes the plain branch; zero scale/translate ->
+    # exact centered letterbox
+    hyp = {"mosaic": 1e-9, "scale": 0.0, "translate": 0.0}
+    out, t, v = jax.jit(lambda i, hwv, tv, vv, k: mosaic_in_batch(
+        i, hwv, tv, vv, k, hyp))(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(targets),
+        jnp.asarray(valid), jax.random.PRNGKey(0))
+    out, t, v = np.asarray(out), np.asarray(t), np.asarray(v)
+    for b in range(bs):
+        own = 20 + 20 * b
+        others = {20 + 20 * k for k in range(bs)} - {own}
+        present = set(np.unique(out[b]))
+        assert own in present, "self content must appear"
+        assert not (present & others), "partner tiles must not appear"
+        # content centered: rows 8..56 colored, borders gray
+        assert (out[b, :7] == 114).all() and (out[b, 57:] == 114).all()
+        # exactly the self label survives, centered
+        tb = t[b][v[b]]
+        assert len(tb) == 1
+        np.testing.assert_allclose(tb[0, 1:3], [0.5, 0.5], atol=0.03)
+
+    # p = 0.5: both branches occur across the batch
+    hyp2 = {"mosaic": 0.5, "scale": 0.0, "translate": 0.0}
+    out2, t2, v2 = jax.jit(lambda i, hwv, tv, vv, k: mosaic_in_batch(
+        i, hwv, tv, vv, k, hyp2))(
+        jnp.asarray(images), jnp.asarray(hw), jnp.asarray(targets),
+        jnp.asarray(valid), jax.random.PRNGKey(1))
+    n_plain = 0
+    for b in range(bs):
+        others = {20 + 20 * k for k in range(bs)} - {20 + 20 * b}
+        if not (set(np.unique(np.asarray(out2)[b])) & others):
+            n_plain += 1
+    assert 0 < n_plain < bs, f"both branches expected, got {n_plain}/8 plain"

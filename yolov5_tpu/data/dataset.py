@@ -91,6 +91,20 @@ def load_label_file(path):
                 segments.append(seg)
             elif len(v) == 5:
                 rows.append([float(x) for x in v])
+                segments.append(None)  # placeholder keeps row j <-> segment j
+    if any(s is not None for s in segments):
+        # mixed box/polygon files: synthesize rectangle polygons for box-only
+        # rows so segments stay row-aligned with labels everywhere downstream
+        # (reference all-or-none rule, utils/dataloaders.py segments handling)
+        for j, s in enumerate(segments):
+            if s is None:
+                c, x, y, w, h = rows[j]
+                segments[j] = np.array(
+                    [[x - w / 2, y - h / 2], [x + w / 2, y - h / 2],
+                     [x + w / 2, y + h / 2], [x - w / 2, y + h / 2]],
+                    np.float32)
+    else:
+        segments = []
     labels = np.array(rows, np.float32) if rows else np.zeros((0, 5), np.float32)
     labels[:, 1:] = labels[:, 1:].clip(0, 1)
     return labels, segments

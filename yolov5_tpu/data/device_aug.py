@@ -317,7 +317,32 @@ def mosaic_in_batch(images, hw, targets, valid, key, hyp, pool=None,
     r = jax.random.uniform(kr, (bs,), minval=1 - scale, maxval=1 + scale)
     t = jax.random.uniform(kt, (bs, 2), minval=0.5 - translate,
                            maxval=0.5 + translate) * s
+    hw4, targets4, valid4, xc, yc = _apply_mosaic_prob(
+        key, hyp, hw4, targets4, valid4, xc, yc, s)
     return mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+
+
+def _apply_mosaic_prob(key, hyp, hw4, targets4, valid4, xc, yc, s):
+    """Per-image Bernoulli(hyp['mosaic']) mosaic (reference __getitem__,
+    dataloaders.py:678). A non-mosaic image is expressed in the SAME fused
+    pass: partner tiles get zero content and the self tile is re-centered on
+    the canvas so the scale+translate map reduces to the reference's
+    letterbox + random_perspective branch — no second code path, no extra
+    resample cost."""
+    p = hyp.get("mosaic", 1.0)
+    if p >= 1.0:
+        return hw4, targets4, valid4, xc, yc
+    bs = hw4.shape[0]
+    do = jax.random.uniform(jax.random.fold_in(key, 7), (bs,)) < p
+    h0, w0 = hw4[:, 0, 0], hw4[:, 0, 1]
+    first = jnp.asarray([True, False, False, False])
+    hw4 = jnp.where(do[:, None, None], hw4,
+                    hw4 * first[None, :, None].astype(hw4.dtype))
+    valid4 = valid4 & (do[:, None, None] | first[None, :, None])
+    # content center at canvas center s: scale about the image center + jitter
+    xc = jnp.where(do, xc, s + w0 / 2)
+    yc = jnp.where(do, yc, s + h0 / 2)
+    return hw4, targets4, valid4, xc, yc
 
 
 def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
@@ -552,6 +577,8 @@ def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
     r = jax.random.uniform(kr, (bs,), minval=1 - scale, maxval=1 + scale)
     t = jax.random.uniform(kt, (bs, 2), minval=0.5 - translate,
                            maxval=0.5 + translate) * s
+    hw4, targets4, valid4, xc, yc = _apply_mosaic_prob(
+        key, hyp, hw4, targets4, valid4, xc, yc, s)
 
     # image composition: identical to the detect path (its box labels are
     # recomputed below from the warped polygons)

@@ -198,6 +198,8 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, masks=True,
         mask_ratio=mask_ratio, overlap=overlap,
+        # 'device' is handled below; ram/disk are host-side loader caches
+        cache=cache if cache in ("ram", "disk") else None,
     )
     val_loader = None
     if data_dict.get("val") and not noval:
