@@ -43,8 +43,11 @@ def _batch(bs=4, s=96, m=3, v=8, seed=0):
 
 
 def test_mosaic_seg_boxes_bound_polygons():
-    """Re-derived boxes must tightly bound the warped polygons (inside-image
-    points only, reference segment2box)."""
+    """Re-derived boxes must tightly bound the warped polygons CLIPPED to the
+    canvas — the dense-point limit of reference segment2box (the reference
+    warps 1000-point resampled polygons, so its inside-points extent equals
+    the clipped extent; raw V=32-vertex inside-extent undersized cut
+    instances, the round-2 device seg mAP gap)."""
     b = _batch()
     key = jax.random.PRNGKey(0)
     img, targets, segs, valid = jax.jit(
@@ -61,8 +64,9 @@ def test_mosaic_seg_boxes_bound_polygons():
         inside = ((seg_px[:, 0] >= 0) & (seg_px[:, 0] <= s)
                   & (seg_px[:, 1] >= 0) & (seg_px[:, 1] <= s))
         assert inside.any()
-        x1, y1 = seg_px[inside].min(0)
-        x2, y2 = seg_px[inside].max(0)
+        clipped = np.clip(seg_px, 0, s)
+        x1, y1 = clipped.min(0)
+        x2, y2 = clipped.max(0)
         t = targets[bi, mi]
         np.testing.assert_allclose(t[1] * s, (x1 + x2) / 2, atol=1e-2)
         np.testing.assert_allclose(t[3] * s, x2 - x1, atol=1e-2)

@@ -519,20 +519,27 @@ def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp):
 
 
 def _segment_boxes(seg_px, ow, oh):
-    """Boxes from warped polygon points, reference segment2box semantics:
-    only points INSIDE the output image count; no inside points -> zero box.
+    """Boxes from warped polygon points, reference segment2box semantics in
+    the dense-point limit. The reference resamples every polygon to 1000
+    points BEFORE warping (utils/general.py:603 resample_segments), so its
+    inside-points extent converges to the extent of the border-CLIPPED
+    polygon. With only V (=32) warped vertices, testing raw vertices
+    underestimates partially-visible instances badly (a clipped corner pulls
+    the box inward by a whole edge) — this undersized-box bias was the round-2
+    device-path seg mAP gap: boxes shrink and the seg loss's crop-to-box then
+    truncates mask supervision. Clipping vertices to the canvas before the
+    extent reproduces the 1000-point behavior exactly for convex edges at no
+    cost.
 
     seg_px: (..., V, 2) float px. Returns (xyxy (..., 4), any_inside (...,)).
     """
     x, y = seg_px[..., 0], seg_px[..., 1]
     inside = (x >= 0) & (x <= ow) & (y >= 0) & (y <= oh)
-    big = jnp.float32(1e9)
-    x1 = jnp.where(inside, x, big).min(-1)
-    y1 = jnp.where(inside, y, big).min(-1)
-    x2 = jnp.where(inside, x, -big).max(-1)
-    y2 = jnp.where(inside, y, -big).max(-1)
+    xc = jnp.clip(x, 0, ow)
+    yc = jnp.clip(y, 0, oh)
+    boxes = jnp.stack(
+        [xc.min(-1), yc.min(-1), xc.max(-1), yc.max(-1)], axis=-1)
     any_in = inside.any(-1)
-    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
     return jnp.where(any_in[..., None], boxes, 0.0), any_in
 
 
