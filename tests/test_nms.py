@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from yolov5_tpu.ops.nms import (
     _greedy_nms_scan,
     _greedy_nms_tiled,
@@ -174,3 +176,35 @@ def test_merge_nms_runs(rng):
     # same survivors (merge only moves boxes), coordinates may shift
     np.testing.assert_array_equal(np.asarray(merged.valid), np.asarray(plain.valid))
     assert np.isfinite(np.asarray(merged.boxes)).all()
+
+
+def test_verified_selection_matches_exact_sparse_and_dense(rng):
+    """The large-k eval path's verified-approx selection must equal the
+    exact top_k protocol bit-for-bit: sparse scores (trained-model landscape,
+    fast path) AND dense scores (random weights, lax.cond fallback)."""
+    bs, n, nc = 2, 4000, 12
+    for landscape in ("sparse", "dense"):
+        pred = np.asarray(rng.random((bs, n, 5 + nc)), np.float32)
+        if landscape == "sparse":
+            # obj tiny everywhere except ~200 boxes per image
+            pred[..., 4] = 0.0001
+            hot = rng.integers(0, n, 200)
+            pred[:, hot, 4] = 0.9
+        else:
+            pred[..., 4] = np.asarray(rng.random((bs, n)), np.float32)
+        pred[..., :4] = np.asarray(rng.random((bs, n, 4)), np.float32) * 400 + 8
+        j_pred = jnp.asarray(pred)
+        kw = dict(conf_thres=0.001, iou_thres=0.45, multi_label=True,
+                  max_det=100, max_nms=30720)
+        fast = non_max_suppression(j_pred, **kw)
+        exact = non_max_suppression(j_pred, exact_selection=True, **kw)
+        v_f, v_e = np.asarray(fast.valid), np.asarray(exact.valid)
+        np.testing.assert_array_equal(v_f, v_e, err_msg=landscape)
+        np.testing.assert_array_equal(np.asarray(fast.scores),
+                                      np.asarray(exact.scores), err_msg=landscape)
+        # gathered fields compared on valid rows (invalid rows may gather
+        # arbitrary zero-score indices)
+        for name in ("boxes", "classes"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fast, name))[v_f],
+                np.asarray(getattr(exact, name))[v_e], err_msg=landscape)

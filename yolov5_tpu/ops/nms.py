@@ -168,6 +168,7 @@ def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256, max_det=None):
         "nc",
         "impl",
         "merge",
+        "exact_selection",
     ),
 )
 def non_max_suppression(
@@ -182,6 +183,7 @@ def non_max_suppression(
     class_filter=None,
     impl: str = "tiled",
     merge: bool = False,
+    exact_selection: bool = False,
 ) -> Detections:
     """Batched NMS on decoded predictions.
 
@@ -199,6 +201,10 @@ def non_max_suppression(
       nc: number of classes; inferred as no-5 when mask coeffs absent.
       class_filter: optional (nc,) bool array — keep only these classes.
       impl: "tiled" (default) or "scan" (executable spec, for tests).
+      exact_selection: force the pure lax.top_k candidate selection (slow at
+        the 30k eval cap). The default verified-approx path is already
+        reference-exact — this flag exists to attribute any residual delta
+        during parity validation (and pins that claim in tests).
 
     Returns a `Detections` namedtuple of fixed-shape padded arrays.
     """
@@ -219,18 +225,40 @@ def non_max_suppression(
     k = min(max_nms, n * nc if multi_label else n)
 
     def select_k(flat, k):
-        """Descending top-k of (bs, M). Exact top_k lowers to an iterative
-        partial sort whose cost scales with k — at the eval path's 30k cap
-        over N*nc it dominates the whole NMS (~4.6 of 4.8 ms/img measured).
-        For large k use the TPU-native approx_max_k (recall ~0.95; the
-        reference itself truncates the pool arbitrarily at max_nms,
-        utils/general.py:688) and restore sortedness — required by the
-        greedy tiles — with one cheap sort of the selected k."""
-        if k <= 8192:
+        """Descending top-k of (bs, M), protocol-exact at any k.
+
+        Exact lax.top_k lowers to an iterative partial sort that costs
+        ~2.4-4.3 ms/img on the eval path's (bs, N*nc)=~2M input at ANY k
+        (measured k=2048..30720) — it would dominate the whole NMS. Instead:
+        run the TPU-native approx_max_k at a small k_fast (0.3 ms/img at
+        4096), count the candidates above conf_thres in one cheap pass, and
+        VERIFY the approx pass captured every one of them. For a trained
+        model at conf 0.001 the above-threshold count is far below k_fast,
+        so the fast path almost always wins and its result provably equals
+        the reference's exact top-`max_nms` truncation (utils/general.py:688)
+        — every above-threshold candidate is present, sorted. When the check
+        fails (dense score landscapes: early training, random weights), a
+        lax.cond falls back to the exact top_k at the full cap, so the
+        result is reference-exact in EVERY case, never approximate."""
+        if k <= 2048 or exact_selection:
             return jax.lax.top_k(flat, k)
-        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
-        neg, sidx = jax.lax.sort_key_val(-vals, idx, dimension=-1)
-        return -neg, sidx
+        k_fast = 4096
+        if k <= k_fast:
+            return jax.lax.top_k(flat, k)
+        c = (flat > conf_thres).sum(axis=-1)  # above-threshold candidates
+        vals, idx = jax.lax.approx_max_k(flat, k_fast, recall_target=0.95)
+        got = (vals > conf_thres).sum(axis=-1)
+        captured_all = jnp.all((got >= c) & (c <= k_fast))
+
+        def fast(_):
+            neg, sidx = jax.lax.sort_key_val(-vals, idx, dimension=-1)
+            pad = ((0, 0), (0, k - k_fast))
+            return jnp.pad(-neg, pad), jnp.pad(sidx, pad)
+
+        def slow(_):
+            return tuple(jax.lax.top_k(flat, k))
+
+        return jax.lax.cond(captured_all, fast, slow, None)
 
     if multi_label and nc > 1:
         flat = cls_scores.reshape(bs, n * nc)
