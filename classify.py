@@ -22,6 +22,8 @@ def main():
     t.add_argument("--project", default="runs/train-cls")
     t.add_argument("--name", default="exp")
     t.add_argument("--exist-ok", action="store_true")
+    t.add_argument("--no-device-aug", action="store_true",
+                   help="disable the HBM dataset cache + one-dispatch epochs")
 
     d = sub.add_parser("predict")
     d.add_argument("--weights", required=True)
@@ -36,6 +38,7 @@ def main():
         from yolov5_tpu.train.run_classify import run
 
         run(data=opt.data, cfg=opt.cfg, epochs=opt.epochs,
+            device_aug=not opt.no_device_aug,
             batch_size=opt.batch_size, imgsz=opt.imgsz, lr0=opt.lr0,
             optimizer=opt.optimizer, label_smoothing=opt.label_smoothing,
             seed=opt.seed, project=opt.project, name=opt.name,

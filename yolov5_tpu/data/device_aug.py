@@ -701,6 +701,33 @@ def device_augment_seg(batch, key, hyp, mask_shape, overlap=True, pool=None,
             "masks": masks, "segments": segments}
 
 
+def classify_device_augment(images, key, scale_range=(0.6, 1.0), hflip=0.5):
+    """On-device classify train transform: RandomResizedCrop-style random
+    scale crop + horizontal flip over an HBM-cached (bs, S, S, 3) uint8
+    batch (reference classify_transforms / RandomResizedCrop recipe,
+    utils/augmentations.py:248-341; host twin: run_classify.ImageFolder.load).
+    Crops the S-res cache rather than the original file (one interpolation
+    level softer than the host path — the decode already resized to S)."""
+    b, s = images.shape[0], images.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    sc = jax.random.uniform(k1, (b,), minval=scale_range[0],
+                            maxval=scale_range[1])
+    off = jax.random.uniform(k2, (b, 2)) * (1 - sc)[:, None] * s
+    zeros = jnp.zeros((b,))
+    ones = jnp.ones((b,))
+    # inverse map: in_px = off + out_px * sc
+    M = jnp.stack([
+        jnp.stack([sc, zeros, off[:, 0]], -1),
+        jnp.stack([zeros, sc, off[:, 1]], -1),
+        jnp.stack([zeros, zeros, ones], -1),
+    ], 1)  # (b, 3, 3)
+    out = jax.vmap(lambda im, m: affine_sample(im.astype(jnp.float32), m, s, s))(
+        images, M)
+    do = jax.random.uniform(k3, (b,)) < hflip
+    out = jnp.where(do[:, None, None, None], out[:, :, ::-1, :], out)
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
+
+
 def device_augment(batch, key, hyp):
     """Full on-device pipeline: perspective -> HSV -> flips. batch dict of
     images uint8 / targets / valid; returns same structure. Jit-safe."""

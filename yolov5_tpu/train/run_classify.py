@@ -7,6 +7,7 @@ the detection backbone sliced at cutoff=10 + Classify head
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 
@@ -90,11 +91,33 @@ def normalize(images_uint8, dtype=jnp.float32):
     return (x - IMAGENET_MEAN.astype(dtype)) / IMAGENET_STD.astype(dtype)
 
 
+def build_cls_cache(ds):
+    """Decode + deterministic center-crop-resize every image ONCE into
+    (N, S, S, 3) uint8 + (N,) int32 labels — the classify twin of the
+    detect/seg HBM dataset cache (data/device_cache.py). Training then
+    ships only index vectors; the random crop/flip runs inside the jitted
+    step (data/device_aug.py:classify_device_augment)."""
+    n, s = len(ds), ds.img_size
+    images = np.zeros((n, s, s, 3), np.uint8)
+    labels = np.zeros((n,), np.int32)
+    for i in range(n):
+        im, lab = ds.load(i)  # center crop, no aug
+        images[i] = im
+        labels[i] = lab
+    return images, labels
+
+
 def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
         optimizer="adam", label_smoothing=0.1, seed=0, project="runs/train-cls",
         name="exp", exist_ok=False, dtype="float32", verbose=True,
-        save_dir=None, nosave=False):
-    """Train a classifier; returns (best_top1, save_dir)."""
+        save_dir=None, nosave=False, device_aug=True):
+    """Train a classifier; returns (best_top1, save_dir).
+
+    device_aug (default): when the decoded dataset fits the HBM budget, the
+    whole train set is cached on device once and each epoch is ONE dispatch —
+    a lax.scan over index batches with the random crop/flip inside the jitted
+    step (same design as the detect/seg device path). Falls back to the
+    host ImageFolder loop otherwise."""
     init_seeds(seed)
     data = Path(data)
     train_dir = data / "train" if (data / "train").exists() else data
@@ -149,6 +172,39 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
 
     step = jax.jit(step_fn, donate_argnums=(0, 1, 2, 3))
 
+    # device-resident fast path: cache fits -> one dispatch per epoch
+    use_cache = False
+    cache_imgs = cache_labels = None
+    if device_aug:
+        from yolov5_tpu.data.device_cache import device_memory_budget
+
+        need = len(train_ds) * imgsz * imgsz * 3
+        if need <= device_memory_budget():
+            imgs_np, labels_np = build_cls_cache(train_ds)
+            cache_imgs = jax.device_put(jnp.asarray(imgs_np))
+            cache_labels = jax.device_put(jnp.asarray(labels_np))
+            use_cache = True
+            if verbose:
+                print(f"device cache: {len(train_ds)} images "
+                      f"({need / 1e6:.0f} MB) resident in HBM")
+
+    if use_cache:
+        from yolov5_tpu.data.device_aug import classify_device_augment
+
+        def epoch_body(carry, xs):
+            params, batch_stats, opt_state, ema = carry
+            idx, key = xs
+            ims = classify_device_augment(cache_imgs[idx], key)
+            batch = {"images": ims, "labels": cache_labels[idx]}
+            p2, bs2, o2, e2, m = step_fn(params, batch_stats, opt_state, ema,
+                                         batch)
+            return (p2, bs2, o2, e2), m
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def epoch_step(carry, idx_epoch, keys):
+            carry, ms = jax.lax.scan(epoch_body, carry, (idx_epoch, keys))
+            return carry, jax.tree.map(jnp.sum, ms)
+
     def eval_fn(variables, batch):
         logits = model.module.apply(variables, normalize(batch["images"], jdt),
                                     train=False)
@@ -161,11 +217,23 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
         for epoch in range(epochs):
             t0 = time.time()
             agg, n = None, 0
-            for batch in train_ds.batches(batch_size, shuffle=True, seed=seed, epoch=epoch):
-                params, batch_stats, opt_state, ema, m = step(
-                    params, batch_stats, opt_state, ema, batch)
-                agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
-                n += 1
+            if use_cache:
+                rng = np.random.default_rng(seed + epoch)
+                idx = rng.permutation(len(train_ds))
+                n = len(idx) // batch_size
+                idx_epoch = jnp.asarray(
+                    idx[: n * batch_size].reshape(n, batch_size).astype(np.int32))
+                keys = jax.random.split(
+                    jax.random.fold_in(jax.random.PRNGKey(seed), epoch), n)
+                (params, batch_stats, opt_state, ema), agg = epoch_step(
+                    (params, batch_stats, opt_state, ema), idx_epoch, keys)
+            else:
+                for batch in train_ds.batches(batch_size, shuffle=True,
+                                              seed=seed, epoch=epoch):
+                    params, batch_stats, opt_state, ema, m = step(
+                        params, batch_stats, opt_state, ema, batch)
+                    agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
+                    n += 1
             agg = jax.device_get(agg) if agg else {"loss": 0.0, "acc": 0.0}
             row = {"train/loss": float(agg["loss"]) / max(n, 1),
                    "train/acc": float(agg["acc"]) / max(n, 1),
@@ -173,7 +241,10 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
             if val_ds:
                 top1 = top5 = total = 0
                 ema_vars = {"params": ema.params, "batch_stats": ema.batch_stats}
-                for batch in val_ds.batches(batch_size):
+                # decode the val set once, not per epoch
+                if not hasattr(val_ds, "_decoded"):
+                    val_ds._decoded = list(val_ds.batches(batch_size))
+                for batch in val_ds._decoded:
                     logits = np.asarray(eval_jit(ema_vars, {"images": jnp.asarray(batch["images"])}))
                     rank = np.argsort(-logits, axis=-1)
                     top1 += (rank[:, 0] == batch["labels"]).sum()
