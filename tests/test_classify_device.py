@@ -29,7 +29,8 @@ def test_classify_device_augment_identity_crop():
     rng = np.random.default_rng(0)
     ims = jnp.asarray(rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8))
     out = classify_device_augment(ims, jax.random.PRNGKey(0),
-                                  scale_range=(1.0, 1.0), hflip=0.0)
+                                  scale=(1.0, 1.0), ratio=(1.0, 1.0),
+                                  hflip=0.0, jitter=0.0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ims))
 
 

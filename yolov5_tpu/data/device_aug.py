@@ -590,7 +590,15 @@ def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
     # image composition: identical to the detect path (its box labels are
     # recomputed below from the warped polygons)
     out, _, _ = mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+    labels, segs_out, valids = _seg_mosaic_labels(
+        seg4, hw4, targets4, valid4, xc, yc, r, t, s)
+    return out, labels, segs_out, valids
 
+
+def _seg_mosaic_labels(seg4, hw4, targets4, valid4, xc, yc, r, t, s):
+    """Warp per-tile polygons to the output frame and re-derive labels.
+    Deterministic core of mosaic_in_batch_seg (randomness drawn by the
+    caller) — kept separate so oracle tests can force (xc, yc, r, t)."""
     A = r[:, None, None]
     Bx = (t[:, 0] - r * s)[:, None, None]
     By = (t[:, 1] - r * s)[:, None, None]
@@ -623,7 +631,7 @@ def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
              nw / s, nh / s], axis=-1))
         segs_out.append(seg_px / s)  # output-normalized
         valids.append(valid4[:, k] & keep & any_in)
-    return (out, jnp.concatenate(labels, 1), jnp.concatenate(segs_out, 1),
+    return (jnp.concatenate(labels, 1), jnp.concatenate(segs_out, 1),
             jnp.concatenate(valids, 1))
 
 
@@ -701,30 +709,48 @@ def device_augment_seg(batch, key, hyp, mask_shape, overlap=True, pool=None,
             "masks": masks, "segments": segments}
 
 
-def classify_device_augment(images, key, scale_range=(0.6, 1.0), hflip=0.5):
-    """On-device classify train transform: RandomResizedCrop-style random
-    scale crop + horizontal flip over an HBM-cached (bs, S, S, 3) uint8
-    batch (reference classify_transforms / RandomResizedCrop recipe,
-    utils/augmentations.py:248-341; host twin: run_classify.ImageFolder.load).
-    Crops the S-res cache rather than the original file (one interpolation
-    level softer than the host path — the decode already resized to S)."""
+def classify_device_augment(images, key, scale=(0.08, 1.0),
+                            ratio=(0.75, 4.0 / 3.0), hflip=0.5, jitter=0.4):
+    """On-device classify train transform, reference recipe
+    (classify_albumentations, utils/augmentations.py:248-294):
+    RandomResizedCrop(scale area fraction, aspect ratio) + HorizontalFlip +
+    ColorJitter(brightness, contrast, saturation; hue 0) over an HBM-cached
+    (bs, S, S, 3) uint8 batch. Host twin: run_classify.ImageFolder.load.
+    Deviations: crops the S-res cache rather than the original file (the
+    decode already resized to S), and the three jitters apply in fixed order
+    (torchvision shuffles the order per call)."""
     b, s = images.shape[0], images.shape[1]
-    k1, k2, k3 = jax.random.split(key, 3)
-    sc = jax.random.uniform(k1, (b,), minval=scale_range[0],
-                            maxval=scale_range[1])
-    off = jax.random.uniform(k2, (b, 2)) * (1 - sc)[:, None] * s
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    # RandomResizedCrop: area fraction + aspect ratio -> per-axis side scales
+    area = jax.random.uniform(k1, (b,), minval=scale[0], maxval=scale[1])
+    logr = jax.random.uniform(k2, (b,), minval=jnp.log(ratio[0]),
+                              maxval=jnp.log(ratio[1]))
+    rho = jnp.exp(logr)
+    sw = jnp.minimum(jnp.sqrt(area * rho), 1.0)
+    sh = jnp.minimum(jnp.sqrt(area / rho), 1.0)
+    off = jax.random.uniform(k3, (b, 2))
+    offx = off[:, 0] * (1 - sw) * s
+    offy = off[:, 1] * (1 - sh) * s
     zeros = jnp.zeros((b,))
     ones = jnp.ones((b,))
-    # inverse map: in_px = off + out_px * sc
+    # inverse map: in_px = off + out_px * scale
     M = jnp.stack([
-        jnp.stack([sc, zeros, off[:, 0]], -1),
-        jnp.stack([zeros, sc, off[:, 1]], -1),
+        jnp.stack([sw, zeros, offx], -1),
+        jnp.stack([zeros, sh, offy], -1),
         jnp.stack([zeros, zeros, ones], -1),
     ], 1)  # (b, 3, 3)
     out = jax.vmap(lambda im, m: affine_sample(im.astype(jnp.float32), m, s, s))(
         images, M)
-    do = jax.random.uniform(k3, (b,)) < hflip
+    do = jax.random.uniform(k4, (b,)) < hflip
     out = jnp.where(do[:, None, None, None], out[:, :, ::-1, :], out)
+    if jitter:
+        jb, jc, js = jax.random.uniform(
+            k5, (3, b, 1, 1, 1), minval=1.0 - jitter, maxval=1.0 + jitter)
+        out = out * jb  # brightness
+        mean = out.mean(axis=(1, 2, 3), keepdims=True)
+        out = (out - mean) * jc + mean  # contrast
+        gray = (out * jnp.asarray([0.299, 0.587, 0.114])).sum(-1, keepdims=True)
+        out = (out - gray) * js + gray  # saturation
     return jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
 
