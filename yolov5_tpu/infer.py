@@ -315,12 +315,48 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
     results = []
     t_total = 0.0
     vid_writers = {}  # source path -> cv2.VideoWriter (reference detect.py:286-310)
-    for group in batched(source_iter, batch_size):
-        ims = np.stack([g[1] for g in group])
-        t0 = time.perf_counter()
-        dets = det(ims, conf_thres, iou_thres, max_det, classes, agnostic_nms)
-        rows = detections_to_numpy(dets)
-        t_total += time.perf_counter() - t0
+
+    # Three-stage pipeline: a reader thread decodes/letterboxes ahead, the
+    # main thread dispatches the (async) device forward+NMS for batch i and
+    # only then blocks on batch i-1's device->host fetch — so host decode,
+    # device compute, and host postprocess of adjacent batches overlap
+    # instead of serializing (the train path's prefetch_to_mesh analog;
+    # round-2 measured the serial loop at 2.1x device time).
+    import queue as _queue
+    import threading as _threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=3)
+    _DONE = object()
+
+    def _read():
+        try:
+            for g in batched(source_iter, batch_size):
+                q.put((g, np.stack([x[1] for x in g])))
+        finally:
+            q.put(_DONE)
+
+    _threading.Thread(target=_read, daemon=True).start()
+
+    def staged():
+        pending = None
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            group, ims = item
+            dets = det(ims, conf_thres, iou_thres, max_det, classes,
+                       agnostic_nms)  # async dispatch
+            if pending is not None:
+                pg, pd = pending
+                yield pg, detections_to_numpy(pd)  # sync one batch behind
+            pending = (group, dets)
+        if pending is not None:
+            pg, pd = pending
+            yield pg, detections_to_numpy(pd)
+
+    t_wall0 = time.perf_counter()
+    for group, rows in staged():
+        t_total = time.perf_counter() - t_wall0
         for (path, im_lb, im0, meta), r in zip(group, rows):
             if len(r):
                 r = np.asarray(r)
@@ -371,7 +407,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
     if verbose:
         n = max(len(results), 1)
         print(f"done: {len(results)} images, {1000 * t_total / n:.1f} ms/img "
-              f"(forward+NMS), results in {save_dir}")
+              f"(pipelined decode+forward+NMS wall), results in {save_dir}")
     return results, save_dir
 
 
