@@ -6,6 +6,7 @@ Equivalent of /root/reference/segment/train.py and segment/val.py
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -246,7 +247,17 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             print(f"device cache: {len(train_ds)} images + segments "
                   f"({need / 1e6:.0f} MB) resident in HBM")
 
-    if use_device_cache:
+    # diagnostic escape hatch: device cache + per-batch dispatch (no epoch
+    # scan) — isolates data-pipeline effects from the scan when comparing
+    no_scan = bool(os.environ.get("YOLOV5_TPU_NO_EPOCH_SCAN"))
+    if use_device_cache and no_scan:
+        step_fn = make_train_step(
+            model, loss_fn, tx, mesh=mesh, has_masks=True, device_aug_hyp=hyp,
+            device_cache=True,
+            mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
+            overlap=overlap)
+        epoch_step = None
+    elif use_device_cache:
         from yolov5_tpu.train.trainer import make_epoch_step
 
         epoch_step = make_epoch_step(
@@ -274,11 +285,20 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             t0 = time.time()
             keys = ("images", "targets", "valid", "masks")
             if use_device_cache:
-                # one dispatch per epoch: scan over the index batches
                 from yolov5_tpu.data.device_cache import index_batches
 
-                idx_epoch = np.stack([b["idx"] for b in index_batches(train_loader)])
-                state, agg = epoch_step(state, jnp.asarray(idx_epoch), cache_dev)
+                if no_scan:  # per-batch dispatch over the device cache
+                    for b in index_batches(train_loader):
+                        state, metrics = step_fn(
+                            state, {"idx": jnp.asarray(b["idx"])}, cache_dev)
+                        agg = metrics if agg is None else jax.tree.map(
+                            jnp.add, agg, metrics)
+                else:
+                    # one dispatch per epoch: scan over the index batches
+                    idx_epoch = np.stack(
+                        [b["idx"] for b in index_batches(train_loader)])
+                    state, agg = epoch_step(state, jnp.asarray(idx_epoch),
+                                            cache_dev)
             else:
                 for batch in prefetch_to_mesh(
                         iter(train_loader), mesh, depth=2,
