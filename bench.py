@@ -115,12 +115,19 @@ def main(batch=32, imgsz=640, k=20):
     # time (profiler-based, NMS excluded). Host-dispatch-included numbers
     # go to extras — in this sandbox dispatch crosses a network tunnel and
     # fluctuates 15-20 ms/call, which no local deployment would pay.
+    # MFU: achieved FLOP rate / peak. yolov5s@640 forward = 16.5 GFLOPs/img
+    # (reference models/yolov5s.yaml header); v5e peak ~197 TFLOP/s bf16.
+    FLOPS_PER_IMG = 16.5e9
+    PEAK_BF16 = 197e12
+    mfu = dev_img_s * FLOPS_PER_IMG / PEAK_BF16
+
     result = {
         "metric": "yolov5s_640_bf16_images_per_sec_per_chip_b32",
         "value": round(dev_img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(dev_img_s / BASELINE_IMG_S, 3),
         "extras": {
+            "mfu_pct": round(100 * mfu, 2),
             "device_ms_per_img": round(t_dev * 1000 / batch, 3),
             "with_dispatch_img_s": round(img_s, 1),
             "with_dispatch_ms_per_img": round(t_fwd * 1000 / batch, 3),
