@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for the YOLO stem conv (6x6 stride-2, 3->32 ch + SiLU).
+
+Why: the stem is the forward pass's worst MXU citizen — as XLA runs it, the
+implicit GEMM is (B*320*320, 108) @ (108, 32): K=108 and N=32 leave ~80% of
+the 128x128 systolic array idle, and round-2 measured it at ~35% of the
+whole yolov5s forward (docs/tpu_performance.md). The round-2 attempt to
+pack outputs at the XLA level was killed by the unpack relayout; this
+kernel keeps the packing INSIDE VMEM where the shuffle is cheap.
+
+Formulation (reference stem: models/common.py Conv(6,2,2) at yolo.py parse):
+  1. Space-to-depth outside the kernel: pad to 644, fold 2x2 phases into
+     channels -> x12 (B, 322, 322, 12); the 6x6/s2 conv becomes an exact
+     3x3/s1 conv over 12 channels (stride folded into the reshape).
+  2. Transpose to (B, 322y, 12c, 322x): channels ride SUBLANES, x rides
+     LANES, so patch building needs only +-1/2 lane shifts, never strided
+     lane gathers.
+  3. Per 4 consecutive output rows, build the patch matrix P (K, 384) in
+     VMEM scratch — K = (6 y-rows x 3 dx x 16c-padded) — and run ONE MXU
+     matmul W_pack (128, K) @ P: the 128 output rows are (4 rows x 32
+     channels), restoring full N-side MXU occupancy.
+  4. Bias + SiLU fuse in-kernel; the (32, x) -> (x, 32) unpack transpose
+     happens on the VMEM tile before the HBM write, so the stored output is
+     plain NHWC (B, 320, 320, 32) — no relayout for the consumer.
+
+The overlapping 6-row input window (stride 4) is assembled from two
+non-overlapping 4-row blocks of the same array (windows g and g+1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C16 = 16            # channel sublanes (12 used, padded to one bf16 tile)
+KDIM = 6 * 3 * C16  # patch rows: 6 y-rows x 3 dx x C16
+XLANES = 384        # 322 used
+ROWPACK = 4         # output rows packed into the matmul N side
+
+
+def _pack_weights(w, dtype):
+    """(6, 6, 3, 32) stem kernel -> (ROWPACK*32, KDIM) packed weights."""
+    # fold the 2x2 stride phases: w12[dy, dx, (py*3 + ... c12), n]
+    w12 = w.reshape(3, 2, 3, 2, 3, 32).transpose(0, 2, 1, 3, 4, 5)
+    w12 = w12.reshape(3, 3, 12, 32)  # (dy, dx, c12, n)
+    wp = jnp.zeros((ROWPACK, 32, 6, 3, C16), w.dtype)
+    for m in range(ROWPACK):
+        # output row oy+m consumes x12 rows (oy+m)+dy, dy in 0..2
+        wp = wp.at[m, :, m : m + 3, :, :12].set(w12.transpose(3, 0, 1, 2))
+    return wp.reshape(ROWPACK * 32, KDIM).astype(dtype)
+
+
+def _stem_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, p_scratch):
+    """Grid (B, 320/ROWPACK). xa = rows [4g, 4g+4), xb = rows [4g+4, 4g+8);
+    o block (1, ROWPACK, 320, 32)."""
+    # build P (KDIM, XLANES): rows (dy*3 + dx)*C16 + c = x12[4g+dy, c, dx:]
+    for dy in range(6):
+        row = xa_ref[0, dy] if dy < ROWPACK else xb_ref[0, dy - ROWPACK]
+        for dx in range(3):
+            base = (dy * 3 + dx) * C16
+            if dx:
+                shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
+            else:
+                shifted = row
+            p_scratch[base : base + C16, :] = shifted
+    out = jax.lax.dot_general(
+        w_ref[:], p_scratch[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (128, XLANES)
+    out = out + b_ref[:]
+    out = out * jax.nn.sigmoid(out)  # SiLU
+    out = out.astype(o_ref.dtype)
+    # unpack (m*32+n, x) -> (m, x, n) on the VMEM tile, then one HBM write
+    for m in range(ROWPACK):
+        o_ref[0, m] = out[m * 32 : (m + 1) * 32, :320].T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stem_conv(x, w, b, interpret=False):
+    """Fused stem: x (B, 640, 640, 3) bf16, w (6, 6, 3, 32), b (32,)
+    -> SiLU(conv6x6s2(x) + b) as (B, 320, 320, 32) bf16."""
+    B = x.shape[0]
+    dt = x.dtype
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
+    # rows padded to 328 so window g+1 of the 4-row blocking stays in bounds
+    x12 = jnp.pad(
+        x12, ((0, 0), (0, 328 - 322), (0, C16 - 12), (0, XLANES - 322)))
+    wp = _pack_weights(w.astype(jnp.float32), dt)
+    bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
+
+    grid = (B, 320 // ROWPACK)
+    return pl.pallas_call(
+        _stem_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ROWPACK, C16, XLANES), lambda b_, g: (b_, g, 0, 0)),
+            pl.BlockSpec((1, ROWPACK, C16, XLANES),
+                         lambda b_, g: (b_, g + 1, 0, 0)),
+            pl.BlockSpec((ROWPACK * 32, KDIM), lambda b_, g: (0, 0)),
+            pl.BlockSpec((ROWPACK * 32, 1), lambda b_, g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ROWPACK, 320, 32),
+                               lambda b_, g: (b_, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 320, 320, 32), dt),
+        scratch_shapes=[pltpu.VMEM((KDIM, XLANES), jnp.float32)],
+        interpret=interpret,
+    )(x12, x12, wp, bp)
