@@ -672,7 +672,13 @@ def rasterize_batch_masks(segments, valid, hm, wm, overlap=True):
     def one(args):
         seg, val = args
         nv = jnp.where(val, v, 0).astype(jnp.int32)
-        poly = seg * scale
+        # floor = cv2.fillPoly's int32 vertex cast (utils/segment/general
+        # polygons2masks). Training GT must reproduce the HOST/eval-protocol
+        # rasterization, not be "more accurate" than it: with subpixel
+        # vertices the masks disagree with the cv2 GT at IoU ~0.87 on small
+        # objects and the model learns a systematically shifted boundary;
+        # flooring lifts agreement to ~0.96 (measured, round 3).
+        poly = jnp.floor(seg * scale)
         if overlap:
             return rasterize_overlap(poly, nv, hm, wm)
         return rasterize(poly, nv, hm, wm)
