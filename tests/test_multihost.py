@@ -39,27 +39,32 @@ def cluster(shapes_dir, tmp_path_factory):
     return _run_cluster(shapes_dir, tmp_path_factory.mktemp("cluster"))
 
 
-def _run_cluster(shapes_dir, tmp_path):
-    outs = [tmp_path / f"rank{r}.json" for r in range(2)]
-    procs = []
-    for r in range(2):
-        env = dict(os.environ)
-        env.update(RANK=str(r), WORLD_SIZE="2", MASTER_ADDR="127.0.0.1",
-                   MASTER_PORT="29583")
-        # workers see exactly one local CPU device each
-        env.pop("XLA_FLAGS", None)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(REPO / "tests" / "mh_worker.py"),
-             str(shapes_dir), str(outs[r])],
-            env=env, cwd=REPO, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT))
-    logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        logs.append(out.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
-    return [json.loads(o.read_text()) for o in outs]
+def _run_cluster(shapes_dir, tmp_path, attempts=3):
+    # gloo's 30s KV-store rendezvous can time out on a heavily loaded CI
+    # box; retry on a fresh port before declaring failure
+    last = ""
+    for attempt in range(attempts):
+        outs = [tmp_path / f"a{attempt}_rank{r}.json" for r in range(2)]
+        procs = []
+        for r in range(2):
+            env = dict(os.environ)
+            env.update(RANK=str(r), WORLD_SIZE="2", MASTER_ADDR="127.0.0.1",
+                       MASTER_PORT=str(29583 + attempt))
+            # workers see exactly one local CPU device each
+            env.pop("XLA_FLAGS", None)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(REPO / "tests" / "mh_worker.py"),
+                 str(shapes_dir), str(outs[r])],
+                env=env, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT))
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out.decode(errors="replace"))
+        if all(p.returncode == 0 for p in procs):
+            return [json.loads(o.read_text()) for o in outs]
+        last = "\n".join(log[-1500:] for log in logs)
+    raise AssertionError(f"cluster failed after {attempts} attempts:\n{last}")
 
 
 def test_two_process_cpu_cluster(cluster):
