@@ -18,7 +18,9 @@ def test_stem_kernel_matches_conv(rng):
         x, w, (2, 2), ((2, 2), (2, 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
     ref = ref * jax.nn.sigmoid(ref)
-    out = stem_conv(x, w, b, interpret=True)
+    # groups=1 keeps interpret-mode runtime sane; every program exercises
+    # the xb (next-block) overlap path, same as larger blockings
+    out = stem_conv(x, w, b, interpret=True, groups=1)
     assert out.shape == (B, 320, 320, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)

@@ -53,61 +53,74 @@ def _pack_weights(w, dtype):
     return wp.reshape(ROWPACK * 32, KDIM).astype(dtype)
 
 
-def _stem_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, p_scratch):
-    """Grid (B, 320/ROWPACK). xa = rows [4g, 4g+4), xb = rows [4g+4, 4g+8);
-    o block (1, ROWPACK, 320, 32)."""
-    # build P (KDIM, XLANES): rows (dy*3 + dx)*C16 + c = x12[4g+dy, c, dx:]
-    for dy in range(6):
-        row = xa_ref[0, dy] if dy < ROWPACK else xb_ref[0, dy - ROWPACK]
-        for dx in range(3):
-            base = (dy * 3 + dx) * C16
-            if dx:
-                shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
-            else:
-                shifted = row
-            p_scratch[base : base + C16, :] = shifted
-    out = jax.lax.dot_general(
-        w_ref[:], p_scratch[:],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (128, XLANES)
-    out = out + b_ref[:]
-    out = out * jax.nn.sigmoid(out)  # SiLU
-    out = out.astype(o_ref.dtype)
-    # unpack (m*32+n, x) -> (m, x, n) on the VMEM tile, then one HBM write
-    for m in range(ROWPACK):
-        o_ref[0, m] = out[m * 32 : (m + 1) * 32, :320].T
+def _make_kernel(groups):
+    seg = groups * ROWPACK
+
+    def _stem_kernel(xa_ref, xb_ref, w_ref, b_ref, o_ref, p_scratch):
+        """Grid (B, 320/seg): each program computes seg output rows via an
+        unrolled loop over `groups` 4-row groups — large enough to amortize
+        program overhead, small enough for VMEM. The 2 extra input rows come
+        from the NEXT row-block (xb)."""
+        w = w_ref[:]
+        bias = b_ref[:]
+
+        for g in range(groups):
+            # build P (KDIM, XLANES): rows (dy*3+dx)*C16+c = x12[4g+dy, c, dx:]
+            for dy in range(6):
+                r = ROWPACK * g + dy
+                row = xa_ref[0, r] if r < seg else xb_ref[0, r - seg]
+                for dx in range(3):
+                    base = (dy * 3 + dx) * C16
+                    if dx:
+                        shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
+                    else:
+                        shifted = row
+                    p_scratch[base : base + C16, :] = shifted
+            out = jax.lax.dot_general(
+                w, p_scratch[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, XLANES)
+            out = out + bias
+            out = out * jax.nn.sigmoid(out)  # SiLU
+            out = out.astype(o_ref.dtype)
+            # unpack (m*32+n, x) -> (m, x, n) on the VMEM tile pre-write
+            for m in range(ROWPACK):
+                o_ref[0, ROWPACK * g + m] = out[m * 32 : (m + 1) * 32, :320].T
+
+    return _stem_kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def stem_conv(x, w, b, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "groups"))
+def stem_conv(x, w, b, interpret=False, groups=10):
     """Fused stem: x (B, 640, 640, 3) bf16, w (6, 6, 3, 32), b (32,)
-    -> SiLU(conv6x6s2(x) + b) as (B, 320, 320, 32) bf16."""
+    -> SiLU(conv6x6s2(x) + b) as (B, 320, 320, 32) bf16.
+    groups: 4-row output groups per program (320 % (4*groups) == 0)."""
     B = x.shape[0]
     dt = x.dtype
+    seg = groups * ROWPACK
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
     x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
-    # rows padded to 328 so window g+1 of the 4-row blocking stays in bounds
+    # rows padded to (320/seg + 1) blocks so window g+1 stays in bounds
+    rows_pad = (320 // seg + 1) * seg
     x12 = jnp.pad(
-        x12, ((0, 0), (0, 328 - 322), (0, C16 - 12), (0, XLANES - 322)))
+        x12, ((0, 0), (0, rows_pad - 322), (0, C16 - 12), (0, XLANES - 322)))
     wp = _pack_weights(w.astype(jnp.float32), dt)
     bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
 
-    grid = (B, 320 // ROWPACK)
     return pl.pallas_call(
-        _stem_kernel,
-        grid=grid,
+        _make_kernel(groups),
+        grid=(B, 320 // seg),
         in_specs=[
-            pl.BlockSpec((1, ROWPACK, C16, XLANES), lambda b_, g: (b_, g, 0, 0)),
-            pl.BlockSpec((1, ROWPACK, C16, XLANES),
+            pl.BlockSpec((1, seg, C16, XLANES), lambda b_, g: (b_, g, 0, 0)),
+            pl.BlockSpec((1, seg, C16, XLANES),
                          lambda b_, g: (b_, g + 1, 0, 0)),
             pl.BlockSpec((ROWPACK * 32, KDIM), lambda b_, g: (0, 0)),
             pl.BlockSpec((ROWPACK * 32, 1), lambda b_, g: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ROWPACK, 320, 32),
-                               lambda b_, g: (b_, g, 0, 0)),
+        out_specs=pl.BlockSpec((1, seg, 320, 32), lambda b_, g: (b_, g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, 320, 320, 32), dt),
-        scratch_shapes=[pltpu.VMEM((KDIM, XLANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((KDIM, XLANES), dt)],
         interpret=interpret,
     )(x12, x12, wp, bp)
