@@ -91,6 +91,90 @@ def _make_kernel(groups):
     return _stem_kernel
 
 
+def _make_kernel_mxuT(groups):
+    """v2.5: same patch build + row-packed matmul as _make_kernel, but the
+    (4r*32c, x) -> (x, 4r*32c) unpack runs on the MXU as a dot against
+    identity (full-width, ~384 cycles) instead of ~1280 VPU shuffle ops,
+    and the 4 output stores are contiguous (320, 32) slices."""
+    seg = groups * ROWPACK
+
+    def _stem_kernel(xa_ref, xb_ref, w_ref, b_ref, eye_ref, o_ref, p_scratch):
+        """xb is an 8-row sliver at the start of the NEXT row-block — only
+        the 2-row window overlap is needed, so fetching the whole next block
+        (as the v2 kernel does) would double the input bandwidth."""
+        w = w_ref[:]
+        bias = b_ref[:]
+        eye = eye_ref[:]
+
+        for g in range(groups):
+            for dy in range(6):
+                r = ROWPACK * g + dy
+                row = xa_ref[0, r] if r < seg else xb_ref[0, r - seg]
+                for dx in range(3):
+                    base = (dy * 3 + dx) * C16
+                    if dx:
+                        shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
+                    else:
+                        shifted = row
+                    p_scratch[base : base + C16, :] = shifted
+            out = jax.lax.dot_general(
+                w, p_scratch[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, XLANES) = (4r*32c, x)
+            out = out + bias
+            out = out * jax.nn.sigmoid(out)  # SiLU on the fp32 accumulator
+            out = out.astype(o_ref.dtype)
+            # transpose on the MXU: out^T[n, m] = sum_k out[k, n] eye[k, m]
+            # (exact on bf16 values: one-term sums accumulated in fp32)
+            outT = jax.lax.dot_general(
+                out, eye,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)  # (XLANES, 128) = (x, 4r*32c)
+            for m in range(ROWPACK):
+                o_ref[0, ROWPACK * g + m] = outT[:320, m * 32 : (m + 1) * 32]
+
+    return _stem_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "groups"))
+def stem_conv_mxuT(x, w, b, interpret=False, groups=10):
+    """stem_conv variant with the in-kernel unpack transpose on the MXU."""
+    B = x.shape[0]
+    dt = x.dtype
+    seg = groups * ROWPACK
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
+    rows_pad = (320 // seg + 1) * seg
+    x12 = jnp.pad(
+        x12, ((0, 0), (0, rows_pad - 322), (0, C16 - 12), (0, XLANES - 322)))
+    if seg % 8 or 320 % seg:
+        raise ValueError("need groups*4 divisible by 8 and dividing 320 "
+                         "(groups in {2, 4, 8, 10, 16, 20, 40, 80})")
+    wp = _pack_weights(w.astype(jnp.float32), dt)
+    bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
+    eye = jnp.eye(ROWPACK * 32, dtype=dt)
+
+    return pl.pallas_call(
+        _make_kernel_mxuT(groups),
+        grid=(B, 320 // seg),
+        in_specs=[
+            pl.BlockSpec((1, seg, C16, XLANES), lambda b_, g: (b_, g, 0, 0)),
+            pl.BlockSpec((1, 8, C16, XLANES),
+                         lambda b_, g: (b_, (g + 1) * (seg // 8), 0, 0)),
+            pl.BlockSpec((ROWPACK * 32, KDIM), lambda b_, g: (0, 0)),
+            pl.BlockSpec((ROWPACK * 32, 1), lambda b_, g: (0, 0)),
+            pl.BlockSpec((ROWPACK * 32, ROWPACK * 32), lambda b_, g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, seg, 320, 32), lambda b_, g: (b_, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 320, 320, 32), dt),
+        scratch_shapes=[pltpu.VMEM((KDIM, XLANES), dt)],
+        interpret=interpret,
+    )(x12, x12, wp, bp, eye)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "groups"))
 def stem_conv(x, w, b, interpret=False, groups=10):
     """Fused stem: x (B, 640, 640, 3) bf16, w (6, 6, 3, 32), b (32,)
