@@ -35,6 +35,49 @@ def test_hsv_matches_cv2(rng):
     np.testing.assert_allclose(np.asarray(v) * 255, ref[..., 2], atol=1.0)
 
 
+def test_rgb_to_hsv_u8_bitexact_cv2(rng):
+    from yolov5_tpu.data.device_aug import rgb_to_hsv_u8
+
+    im = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    ref = cv2.cvtColor(im, cv2.COLOR_RGB2HSV).astype(np.int32)
+    h, s, v = rgb_to_hsv_u8(jnp.asarray(im))
+    got = np.stack([np.asarray(h), np.asarray(s), np.asarray(v)], -1)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_hsv_jitter_lut_matches_cv2_lut(rng):
+    """Device jitter == host cv2 LUT path (reference augmentations.py:69-82)
+    given identical gains. ~0.005% of pixels may differ by 1 LSB from cv2's
+    FMA contraction in HSV2RGB; anything beyond that is a real regression
+    (the continuous-HSV version this replaced measurably broke training)."""
+    from yolov5_tpu.data.augment import augment_hsv as host_hsv
+    from yolov5_tpu.data.device_aug import hsv_jitter_lut
+
+    total_bad = total = 0
+    for trial in range(4):
+        # width must be a multiple of the SIMD register width (32 px): cv2's
+        # HSV2RGB truncates in its vector path but ROUNDS in the per-row
+        # scalar tail, so e.g. 48-wide images get mixed semantics (measured:
+        # 8% of pixels). Train images (320/640) are 32-aligned = pure trunc.
+        im = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        im[:8] = 114  # letterbox border gray
+        r = rng.uniform(-1, 1, 3) * [0.015, 0.7, 0.4] + 1
+
+        class _Shim:  # feed host augment_hsv the exact same gains
+            def uniform(self, lo, hi, n, _r=r):
+                return np.asarray(
+                    [(_r[0] - 1) / 0.015, (_r[1] - 1) / 0.7, (_r[2] - 1) / 0.4])
+
+        host = host_hsv(im[..., ::-1].copy(), rng=_Shim())[..., ::-1]
+        dev = np.asarray(hsv_jitter_lut(
+            jnp.asarray(im)[None], jnp.asarray(r, jnp.float32)[None]))[0]
+        d = np.abs(host.astype(int) - dev.astype(int))
+        assert d.max() <= 1
+        total_bad += int((d > 0).sum())
+        total += d.size
+    assert total_bad / total < 5e-4, f"{total_bad}/{total} pixels off by 1"
+
+
 def test_augment_hsv_preserves_shape_dtype(rng):
     ims = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8))
     out = augment_hsv(ims, jax.random.PRNGKey(0))

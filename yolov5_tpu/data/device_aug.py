@@ -59,18 +59,86 @@ def hsv_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _rne_div(num, den):
+    """round-half-to-even(num / den) for positive int32 num (scalar) / den
+    (array), den > 0 — exact replica of OpenCV's cvRound(double division)
+    used when building its fixed-point HSV tables (saturate_cast<int> of an
+    exact-in-double quotient)."""
+    q = num // den
+    r2 = 2 * (num - q * den)
+    round_up = (r2 > den) | ((r2 == den) & (q % 2 == 1))
+    return q + round_up.astype(jnp.int32)
+
+
+def rgb_to_hsv_u8(images):
+    """cv2-exact uint8 RGB -> (H 0..179, S 0..255, V 0..255) int32.
+
+    Bit-for-bit replica of OpenCV's fixed-point RGB2HSV_b (hsv_shift=12,
+    sdiv/hdiv tables computed inline with exact round-half-even division;
+    V==R takes priority over V==G exactly as OpenCV's mask cascade does).
+    """
+    x = images.astype(jnp.int32)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - vmin
+    sdiv = jnp.where(v > 0, _rne_div(255 << 12, jnp.maximum(v, 1)), 0)
+    s = (diff * sdiv + (1 << 11)) >> 12
+    hdiv = jnp.where(diff > 0, _rne_div(180 << 12, 6 * jnp.maximum(diff, 1)), 0)
+    h_raw = jnp.where(
+        v == r, g - b,
+        jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = jnp.floor_divide(h_raw * hdiv + (1 << 11), 1 << 12)
+    h = h + jnp.where(h < 0, 180, 0)
+    return h, s, v
+
+
+def hsv_jitter_lut(images, r):
+    """cv2-exact LUT HSV jitter with explicit per-image gains r (bs, 3).
+
+    Matches the reference pipeline (augmentations.py:69-82 — the host twin is
+    data/augment.py:augment_hsv) bit-for-bit: quantize to cv2's uint8 HSV,
+    apply `((x*r0)%180) / clip(x*r1) / clip(x*r2)` LUT gains with numpy's
+    truncating astype, convert back through OpenCV's float HSV2RGB with
+    round-half-even saturate_cast. The previous continuous float-HSV jitter
+    (no intermediate uint8 quantization) measurably broke training when
+    combined with mosaic (mAP50 0.755 vs 0.907 — see runs/train/devdet_r3 vs
+    devdet_nohsv), so exact LUT semantics are load-bearing, not cosmetic.
+    """
+    h8, s8, v8 = rgb_to_hsv_u8(images)
+    r0 = r[:, 0, None, None]
+    r1 = r[:, 1, None, None]
+    r2 = r[:, 2, None, None]
+    h8 = jnp.floor((h8.astype(jnp.float32) * r0) % 180.0)
+    s8 = jnp.floor(jnp.clip(s8.astype(jnp.float32) * r1, 0.0, 255.0))
+    v8 = jnp.floor(jnp.clip(v8.astype(jnp.float32) * r2, 0.0, 255.0))
+    # back-conversion: cv2's 8u HSV2RGB is fp32 with reciprocal scaling and a
+    # TRUNCATING (not rounding) final cast — verified bit-exact on the full
+    # 180x256x256 cube except 0.005% of pixels (+-1 from cv2's FMA
+    # contraction, which XLA may or may not mirror per platform)
+    h6 = h8 * jnp.float32(6.0 / 180.0)
+    s = s8 * jnp.float32(1.0 / 255.0)
+    v = v8 * jnp.float32(1.0 / 255.0)
+    i = jnp.floor(h6)
+    f = h6 - i
+    p = v * (1 - s)
+    q = v * (1 - s * f)
+    t = v * (1 - s * (1 - f))
+    i = i.astype(jnp.int32)  # h8 <= 179 so h6 < 6; no mod needed
+    sel = [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5]
+    rr = jnp.select(sel, [v, q, p, p, t, v])
+    gg = jnp.select(sel, [t, v, v, q, p, p])
+    bb = jnp.select(sel, [p, p, t, v, v, q])
+    out = jnp.stack([rr, gg, bb], axis=-1)
+    return jnp.clip(jnp.floor(out * jnp.float32(255.0)), 0, 255).astype(jnp.uint8)
+
+
 def augment_hsv(images, key, hgain=0.015, sgain=0.7, vgain=0.4):
     """Per-image HSV jitter. images (bs, h, w, 3) uint8 RGB -> uint8."""
     bs = images.shape[0]
     r = jax.random.uniform(key, (bs, 3), minval=-1.0, maxval=1.0)
     r = r * jnp.asarray([hgain, sgain, vgain]) + 1.0
-    x = images.astype(jnp.float32) / 255.0
-    h, s, v = rgb_to_hsv(x)
-    h = (h * r[:, 0, None, None]) % 1.0
-    s = jnp.clip(s * r[:, 1, None, None], 0.0, 1.0)
-    v = jnp.clip(v * r[:, 2, None, None], 0.0, 1.0)
-    out = hsv_to_rgb(h, s, v)
-    return jnp.clip(out * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    return hsv_jitter_lut(images, r)
 
 
 # ---------------------------------------------------------------------------
