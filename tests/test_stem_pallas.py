@@ -26,6 +26,23 @@ def test_stem_kernel_matches_conv(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_stem_fast_path_param_tree(monkeypatch):
+    """The Pallas stem fast path must declare the exact same param tree as
+    nn.Conv so fused checkpoints work unchanged under YOLOV5_TPU_STEM_KERNEL."""
+    import yolov5_tpu.models.layers as L
+
+    x = jnp.zeros((1, 640, 640, 3), jnp.bfloat16)
+    m = L.Conv(32, 6, 2, fused=True, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    ref = jax.eval_shape(m.init, key, x)
+    monkeypatch.setenv("YOLOV5_TPU_STEM_KERNEL", "1")
+    monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    fast = jax.eval_shape(m.init, key, x)
+    assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(fast)
+    assert jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), ref) == \
+        jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), fast)
+
+
 def test_stem_kernel_mxuT_matches_conv(rng):
     B = 1
     x = jnp.asarray(rng.uniform(-1, 1, (B, 640, 640, 3)), jnp.float32)

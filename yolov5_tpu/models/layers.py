@@ -48,6 +48,41 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
     return k // 2 if p is None else p
 
 
+class _ConvParams(nn.Module):
+    """Declares the same (kernel, bias) params as ``nn.Conv`` — used by the
+    Pallas stem fast path to reuse nn.Conv's param tree (path conv/kernel,
+    conv/bias) while bypassing its compute."""
+
+    features: int
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (*self.kshape, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _use_stem_kernel(mod, x, train):
+    """True when the fused 6x6/s2 3->32 SiLU stem on a 640px TPU input can
+    take the Pallas kernel (ops/stem_pallas.py). Opt IN with
+    YOLOV5_TPU_STEM_KERNEL=1: standalone the kernel beats the XLA stem
+    (221 vs 271 us/img, quiet v5e), but embedded in the full forward the
+    s2d prep relayout costs more than the kernel saves (0.69 vs 0.61
+    ms/img measured), so the default stays XLA."""
+    import os
+
+    return (mod.fused and not train and mod.k == 6 and mod.s == 2
+            and mod.c2 == 32 and mod.g == 1 and mod.d == 1
+            and mod.act == "silu" and x.ndim == 4 and x.shape[-1] == 3
+            and x.shape[1] == x.shape[2] == 640
+            and autopad(mod.k, mod.p, mod.d) == 2
+            and os.environ.get("YOLOV5_TPU_STEM_KERNEL", "0") == "1"
+            and jax.default_backend() == "tpu")
+
+
 class Conv(nn.Module):
     """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
 
@@ -71,6 +106,14 @@ class Conv(nn.Module):
     def __call__(self, x, train: bool = False):
         pad = autopad(self.k, self.p, self.d)
         g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
+        if _use_stem_kernel(self, x, train):
+            from yolov5_tpu.ops.stem_pallas import stem_conv_mxuT
+
+            kernel, bias = _ConvParams(self.c2, (self.k, self.k, 3),
+                                       name="conv")()
+            return stem_conv_mxuT(x.astype(self.dtype),
+                                  kernel.astype(self.dtype),
+                                  bias.astype(jnp.float32))
         x = nn.Conv(
             self.c2,
             (self.k, self.k),
