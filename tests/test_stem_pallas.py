@@ -32,11 +32,12 @@ def test_stem_fast_path_param_tree(monkeypatch):
     import yolov5_tpu.models.layers as L
 
     x = jnp.zeros((1, 640, 640, 3), jnp.bfloat16)
-    m = L.Conv(32, 6, 2, fused=True, dtype=jnp.bfloat16)
+    m = L.Conv(32, 6, 2, p=2, fused=True, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     ref = jax.eval_shape(m.init, key, x)
     monkeypatch.setenv("YOLOV5_TPU_STEM_KERNEL", "1")
     monkeypatch.setattr(L.jax, "default_backend", lambda: "tpu")
+    assert L._use_stem_kernel(m, x, train=False)  # gate actually open
     fast = jax.eval_shape(m.init, key, x)
     assert jax.tree_util.tree_structure(ref) == jax.tree_util.tree_structure(fast)
     assert jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), ref) == \

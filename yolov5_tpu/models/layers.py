@@ -70,8 +70,9 @@ def _use_stem_kernel(mod, x, train):
     take the Pallas kernel (ops/stem_pallas.py). Opt IN with
     YOLOV5_TPU_STEM_KERNEL=1: standalone the kernel beats the XLA stem
     (221 vs 271 us/img, quiet v5e), but embedded in the full forward the
-    s2d prep relayout costs more than the kernel saves (0.69 vs 0.61
-    ms/img measured), so the default stays XLA."""
+    s2d prep relayout costs more than the kernel saves (0.69 vs 0.57
+    ms/img measured; see docs/tpu_performance.md), so the default stays
+    XLA."""
     import os
 
     return (mod.fused and not train and mod.k == 6 and mod.s == 2

@@ -53,6 +53,48 @@ def _pack_weights(w, dtype):
     return wp.reshape(ROWPACK * 32, KDIM).astype(dtype)
 
 
+def _s2d_prep(x, w, b, seg):
+    """Host-side (XLA) prologue shared by both kernels: pad the 640 image to
+    644, fold the 2x2 stride phases into channels, transpose channels onto
+    sublanes / x onto lanes, and pad rows to whole seg blocks so the g+1
+    overlap window stays in bounds. Also packs weights and bias."""
+    B, dt = x.shape[0], x.dtype
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
+    x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
+    rows_pad = (320 // seg + 1) * seg
+    x12 = jnp.pad(
+        x12, ((0, 0), (0, rows_pad - 322), (0, C16 - 12), (0, XLANES - 322)))
+    wp = _pack_weights(w.astype(jnp.float32), dt)
+    bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
+    return x12, wp, bp
+
+
+def _group_matmul(xa_ref, xb_ref, p_scratch, w, bias, g, seg, out_dtype):
+    """Shared kernel body: build the patch matrix P (KDIM, XLANES) for 4-row
+    output group ``g`` — rows (dy*3+dx)*C16+c = x12[4g+dy, c, dx:] with the
+    2-row window overlap coming from xb — then one MXU matmul + bias + SiLU
+    on the fp32 accumulator. Returns (ROWPACK*32, XLANES) in ``out_dtype``."""
+    for dy in range(6):
+        r = ROWPACK * g + dy
+        row = xa_ref[0, r] if r < seg else xb_ref[0, r - seg]
+        for dx in range(3):
+            base = (dy * 3 + dx) * C16
+            if dx:
+                shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
+            else:
+                shifted = row
+            p_scratch[base : base + C16, :] = shifted
+    out = jax.lax.dot_general(
+        w, p_scratch[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (128, XLANES) = (4r*32c, x)
+    out = out + bias
+    out = out * jax.nn.sigmoid(out)  # SiLU
+    return out.astype(out_dtype)
+
+
 def _make_kernel(groups):
     seg = groups * ROWPACK
 
@@ -65,25 +107,8 @@ def _make_kernel(groups):
         bias = b_ref[:]
 
         for g in range(groups):
-            # build P (KDIM, XLANES): rows (dy*3+dx)*C16+c = x12[4g+dy, c, dx:]
-            for dy in range(6):
-                r = ROWPACK * g + dy
-                row = xa_ref[0, r] if r < seg else xb_ref[0, r - seg]
-                for dx in range(3):
-                    base = (dy * 3 + dx) * C16
-                    if dx:
-                        shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
-                    else:
-                        shifted = row
-                    p_scratch[base : base + C16, :] = shifted
-            out = jax.lax.dot_general(
-                w, p_scratch[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (128, XLANES)
-            out = out + bias
-            out = out * jax.nn.sigmoid(out)  # SiLU
-            out = out.astype(o_ref.dtype)
+            out = _group_matmul(xa_ref, xb_ref, p_scratch, w, bias, g, seg,
+                                o_ref.dtype)
             # unpack (m*32+n, x) -> (m, x, n) on the VMEM tile pre-write
             for m in range(ROWPACK):
                 o_ref[0, ROWPACK * g + m] = out[m * 32 : (m + 1) * 32, :320].T
@@ -107,24 +132,8 @@ def _make_kernel_mxuT(groups):
         eye = eye_ref[:]
 
         for g in range(groups):
-            for dy in range(6):
-                r = ROWPACK * g + dy
-                row = xa_ref[0, r] if r < seg else xb_ref[0, r - seg]
-                for dx in range(3):
-                    base = (dy * 3 + dx) * C16
-                    if dx:
-                        shifted = jnp.pad(row[:, dx:], ((0, 0), (0, dx)))
-                    else:
-                        shifted = row
-                    p_scratch[base : base + C16, :] = shifted
-            out = jax.lax.dot_general(
-                w, p_scratch[:],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (128, XLANES) = (4r*32c, x)
-            out = out + bias
-            out = out * jax.nn.sigmoid(out)  # SiLU on the fp32 accumulator
-            out = out.astype(o_ref.dtype)
+            out = _group_matmul(xa_ref, xb_ref, p_scratch, w, bias, g, seg,
+                                o_ref.dtype)
             # transpose on the MXU: out^T[n, m] = sum_k out[k, n] eye[k, m]
             # (exact on bf16 values: one-term sums accumulated in fp32)
             outT = jax.lax.dot_general(
@@ -141,20 +150,12 @@ def _make_kernel_mxuT(groups):
 @functools.partial(jax.jit, static_argnames=("interpret", "groups"))
 def stem_conv_mxuT(x, w, b, interpret=False, groups=10):
     """stem_conv variant with the in-kernel unpack transpose on the MXU."""
-    B = x.shape[0]
-    dt = x.dtype
-    seg = groups * ROWPACK
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
-    x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
-    x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
-    rows_pad = (320 // seg + 1) * seg
-    x12 = jnp.pad(
-        x12, ((0, 0), (0, rows_pad - 322), (0, C16 - 12), (0, XLANES - 322)))
-    if seg % 8 or 320 % seg:
+    if (groups * ROWPACK) % 8 or 320 % (groups * ROWPACK):
         raise ValueError("need groups*4 divisible by 8 and dividing 320 "
                          "(groups in {2, 4, 8, 10, 16, 20, 40, 80})")
-    wp = _pack_weights(w.astype(jnp.float32), dt)
-    bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
+    B, dt = x.shape[0], x.dtype
+    seg = groups * ROWPACK
+    x12, wp, bp = _s2d_prep(x, w, b, seg)
     eye = jnp.eye(ROWPACK * 32, dtype=dt)
 
     return pl.pallas_call(
@@ -180,18 +181,12 @@ def stem_conv(x, w, b, interpret=False, groups=10):
     """Fused stem: x (B, 640, 640, 3) bf16, w (6, 6, 3, 32), b (32,)
     -> SiLU(conv6x6s2(x) + b) as (B, 320, 320, 32) bf16.
     groups: 4-row output groups per program (320 % (4*groups) == 0)."""
-    B = x.shape[0]
-    dt = x.dtype
+    if 320 % (groups * ROWPACK):
+        raise ValueError("need groups*4 dividing 320 "
+                         "(groups in {1, 2, 4, 5, 8, 10, 16, 20, 40, 80})")
+    B, dt = x.shape[0], x.dtype
     seg = groups * ROWPACK
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
-    x12 = xp.reshape(B, 322, 2, 322, 2, 3).transpose(0, 1, 3, 2, 4, 5)
-    x12 = x12.reshape(B, 322, 322, 12).transpose(0, 1, 3, 2)  # (B,322,12,322)
-    # rows padded to (320/seg + 1) blocks so window g+1 stays in bounds
-    rows_pad = (320 // seg + 1) * seg
-    x12 = jnp.pad(
-        x12, ((0, 0), (0, rows_pad - 322), (0, C16 - 12), (0, XLANES - 322)))
-    wp = _pack_weights(w.astype(jnp.float32), dt)
-    bp = jnp.tile(b.astype(jnp.float32), ROWPACK).reshape(ROWPACK * 32, 1)
+    x12, wp, bp = _s2d_prep(x, w, b, seg)
 
     return pl.pallas_call(
         _make_kernel(groups),
