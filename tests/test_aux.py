@@ -235,3 +235,114 @@ def test_trace_op_table(tmp_path):
     rows = trace_op_table(tmp_path, top=10)
     assert rows and all(len(r) == 3 for r in rows)
     assert any(ms >= 0 for _, _, ms in rows)
+
+
+def test_cloud_logger_adapters_with_fake_sdks(monkeypatch, tmp_path):
+    """W&B/ClearML/Comet sinks activate on import success (the reference's
+    try-import pattern, utils/loggers/__init__.py) — exercised with injected
+    fake SDK modules since the real ones need egress."""
+    import sys
+    import types
+
+    from yolov5_tpu.utils import loggers as L
+
+    events = {"wandb": [], "clearml": [], "comet": []}
+
+    wandb = types.ModuleType("wandb")
+    wandb.run = None
+
+    class _Run:
+        id = "abc"
+
+        def log(self, row, step=None):
+            events["wandb"].append(("log", dict(row), step))
+
+        def log_artifact(self, art):
+            events["wandb"].append(("artifact", art.files))
+
+        def finish(self):
+            events["wandb"].append(("finish",))
+
+    class _Art:
+        def __init__(self, name, type):
+            self.files = []
+
+        def add_file(self, p):
+            self.files.append(p)
+
+    wandb.init = lambda **kw: _Run()
+    wandb.Artifact = _Art
+
+    clearml = types.ModuleType("clearml")
+
+    class _TaskLogger:
+        def report_scalar(self, title, series, v, step):
+            events["clearml"].append((title, series, v, step))
+
+    class _Task:
+        @staticmethod
+        def init(**kw):
+            return _Task()
+
+        def connect(self, cfg):
+            pass
+
+        def get_logger(self):
+            return _TaskLogger()
+
+        def update_output_model(self, model_path):
+            events["clearml"].append(("model", model_path))
+
+        def close(self):
+            events["clearml"].append(("close",))
+
+    clearml.Task = _Task
+
+    comet = types.ModuleType("comet_ml")
+
+    class _Exp:
+        def __init__(self, **kw):
+            pass
+
+        def set_name(self, n):
+            pass
+
+        def log_parameters(self, p):
+            pass
+
+        def log_metrics(self, m, step=None):
+            events["comet"].append(("metrics", dict(m), step))
+
+        def log_model(self, name, path):
+            events["comet"].append(("model", path))
+
+        def end(self):
+            events["comet"].append(("end",))
+
+    comet.Experiment = _Exp
+
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+    monkeypatch.setitem(sys.modules, "clearml", clearml)
+    monkeypatch.setitem(sys.modules, "comet_ml", comet)
+
+    lg = L.Loggers(tmp_path / "exp", enable_tb=False, config={"lr0": 0.01})
+    assert len(lg.cloud) == 3
+    lg.log_metrics({"val/map50": 0.5, "note": "str-skipped"}, step=3)
+    ckpt = tmp_path / "best.ckpt"
+    ckpt.write_bytes(b"x")
+    lg.log_model(ckpt)
+    lg.close()
+
+    assert ("log", {"val/map50": 0.5, "note": "str-skipped"}, 3) in events["wandb"]
+    assert ("val", "map50", 0.5, 3) in events["clearml"]
+    assert ("metrics", {"val/map50": 0.5}, 3) in events["comet"]
+    assert any(e[0] == "artifact" for e in events["wandb"])
+    assert ("model", str(ckpt)) in events["clearml"]
+    assert ("finish",) in events["wandb"] and ("end",) in events["comet"]
+
+    # env kill-switch
+    monkeypatch.setenv("YOLOV5_TPU_LOGGERS", "off")
+    assert L.Loggers(tmp_path / "exp2", enable_tb=False).cloud == []
+    # selective enable
+    monkeypatch.setenv("YOLOV5_TPU_LOGGERS", "comet")
+    assert len(L.Loggers(tmp_path / "exp3", enable_tb=False).cloud) == 1

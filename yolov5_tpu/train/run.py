@@ -400,5 +400,7 @@ def run(
     plot_results(save_dir / "results.csv")
     plot_labels(train_ds.labels, model.names, save_dir)
     callbacks.run("on_train_end")
+    if best.exists():
+        loggers.log_model(best)
     loggers.close()
     return best_fitness, results, save_dir

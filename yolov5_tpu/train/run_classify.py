@@ -265,5 +265,7 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
         model.cfg, model.names = cfg, {i: c for i, c in enumerate(train_ds.classes)}
         save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), model,
                         epochs - 1, best_top1)
+    if (save_dir / "last.ckpt").exists():
+        loggers.log_model(save_dir / "last.ckpt")
     loggers.close()
     return best_top1, save_dir

@@ -334,5 +334,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                     save_checkpoint(save_dir / "best.ckpt", host_state, model,
                                     epoch, best_fitness)
     train_loader.close()
+    if (save_dir / "best.ckpt").exists():
+        loggers.log_model(save_dir / "best.ckpt")
     loggers.close()
     return best_fitness, results, save_dir
