@@ -21,6 +21,15 @@ def parse_opt():
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--save-txt", action="store_true")
     p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-crop", action="store_true", help="save cropped detection boxes")
+    p.add_argument("--save-csv", action="store_true", help="save predictions.csv")
+    p.add_argument("--augment", action="store_true", help="TTA inference")
+    p.add_argument("--data", default=None, help="dataset yaml for class names")
+    p.add_argument("--hide-labels", action="store_true")
+    p.add_argument("--hide-conf", action="store_true")
+    p.add_argument("--vid-stride", type=int, default=1, help="video frame-rate stride")
+    p.add_argument("--view-img", action="store_true", help="show results (needs a display)")
+    p.add_argument("--update", action="store_true", help="strip optimizer state from --weights")
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--project", default="runs/detect")
     p.add_argument("--name", default="exp")
@@ -47,8 +56,15 @@ def main():
         save_txt=opt.save_txt, save_conf=opt.save_conf, save_img=not opt.nosave,
         project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
         line_thickness=opt.line_thickness, batch_size=opt.batch_size,
-        half=opt.half,
+        half=opt.half, augment=opt.augment, data=opt.data,
+        hide_labels=opt.hide_labels, hide_conf=opt.hide_conf,
+        save_crop=opt.save_crop, save_csv=opt.save_csv,
+        vid_stride=opt.vid_stride, view_img=opt.view_img,
     )
+    if opt.update:
+        from yolov5_tpu.utils.checkpoint import strip_optimizer
+
+        strip_optimizer(opt.weights)
 
 
 if __name__ == "__main__":

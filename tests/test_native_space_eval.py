@@ -79,3 +79,35 @@ def test_native_vs_letterbox_matching(tmp_path, rng):
     assert nat["map50"] > 0.95 and lb["map50"] > 0.95
     assert abs(nat["map50"] - lb["map50"]) < 0.02, (nat["map50"], lb["map50"])
     assert abs(nat["map"] - lb["map"]) < 0.05, (nat["map"], lb["map"])
+
+
+def test_val_save_txt_and_hybrid(tmp_path, rng):
+    """--save-txt writes native-space normalized label files; --save-hybrid
+    injects unit-confidence GT candidates pre-NMS (reference val.py lb= path)
+    so even an empty-prediction model recalls every GT box."""
+    root = tmp_path / "rectds2"
+    _make_rect_dataset(root, n=6, seed=3)
+    _, loader = create_loader(root / "images" / "val", img_size=160,
+                              batch_size=3, augment=False, shuffle=False,
+                              workers=2, max_labels=8)
+    model = _StubModel()
+    nc, cap = 3, 16
+
+    def empty_forward(v, images):
+        return jnp.zeros((images.shape[0], cap, 5 + nc), jnp.float32)
+
+    model._eval_forward = empty_forward
+    base = evaluate(model, {}, loader, conf_thres=0.25, native_space=True)
+    assert base["map50"] == 0.0
+
+    txt_dir = tmp_path / "labels_out"
+    hyb = evaluate(model, {}, loader, conf_thres=0.25, native_space=True,
+                   save_hybrid=True, save_txt_dir=txt_dir, save_conf=True)
+    # injected GT candidates match themselves perfectly
+    assert hyb["map50"] > 0.95
+    txts = sorted(txt_dir.glob("*.txt"))
+    assert len(txts) == 6
+    # rows are "cls cx cy w h conf" normalized to the ORIGINAL image frame
+    row = txts[0].read_text().split("\n")[0].split()
+    assert len(row) == 6
+    assert all(0.0 <= float(v) <= 1.0 for v in row[1:])

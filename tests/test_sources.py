@@ -239,3 +239,61 @@ def test_detect_writes_annotated_video(tmp_path):
     if txts:  # random-weight dets may or may not clear conf, but names must be framed
         assert all(t.stem.split("_")[-1].isdigit() for t in txts)
         assert len(txts) <= n_frames
+
+
+def test_detect_crop_csv_stride_flags(tmp_path):
+    """--save-crop / --save-csv / --vid-stride / hide flags (reference
+    detect.py:115-180 option surface)."""
+    src = tmp_path / "clip2.mp4"
+    w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 20.0, (96, 64))
+    rng = np.random.default_rng(1)
+    for _ in range(6):
+        w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    w.release()
+
+    from yolov5_tpu.infer import run
+
+    results, save_dir = run(
+        weights="", cfg=TINY, source=str(src), imgsz=64, conf_thres=1e-5,
+        max_det=3, save_csv=True, save_crop=True, hide_labels=True,
+        vid_stride=2, verbose=False, project=str(tmp_path / "out"), name="s",
+        exist_ok=True)
+    assert len(results) == 3  # 6 frames / stride 2
+    n_dets = sum(len(r) for _, r in results)
+    if n_dets:
+        csv_path = save_dir / "predictions.csv"
+        assert csv_path.exists()
+        lines = csv_path.read_text().strip().splitlines()
+        assert lines[0] == "Image Name,Prediction,Confidence"
+        assert len(lines) == 1 + n_dets
+        crops = list((save_dir / "crops").rglob("*.jpg"))
+        assert len(crops) == n_dets
+
+
+def test_strip_optimizer(tmp_path):
+    """--update analog: drops opt_state, keeps params/EMA (reference
+    strip_optimizer, general.py:770-787)."""
+    import jax
+    from flax import serialization
+
+    from yolov5_tpu.models.yolo import DetectionModel
+    from yolov5_tpu.train.loss import ComputeLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, scale_hyp
+    from yolov5_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                             strip_optimizer)
+
+    m = DetectionModel(TINY)
+    hyp = {"lr0": 0.01, "lrf": 0.1, "momentum": 0.9, "weight_decay": 5e-4,
+           "warmup_epochs": 0, "warmup_momentum": 0.8, "warmup_bias_lr": 0.1}
+    tx = build_optimizer(m.params, hyp, epochs=1, steps_per_epoch=1, batch_size=16)
+    state = init_train_state(m, tx)
+    p = tmp_path / "ck.ckpt"
+    save_checkpoint(p, jax.device_get(state), m, epoch=7, include_opt=True)
+    payload, meta = load_checkpoint(p)
+    assert payload.get("opt_state") is not None and meta["epoch"] == 7
+    strip_optimizer(p)
+    payload2, meta2 = load_checkpoint(p)
+    assert payload2.get("opt_state") is None
+    assert meta2["epoch"] == -1
+    assert payload2["params"].keys() == payload["params"].keys()

@@ -24,6 +24,16 @@ def parse_opt():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--half", action="store_true")
     p.add_argument("--save-json", default=None, help="write COCO-format detections json")
+    p.add_argument("--augment", action="store_true", help="TTA validation")
+    p.add_argument("--save-txt", action="store_true", help="per-image label txts")
+    p.add_argument("--save-conf", action="store_true", help="append confidence in --save-txt")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="inject GT boxes as unit-confidence NMS candidates (autolabelling)")
+    p.add_argument("--verbose", action=argparse.BooleanOptionalAction, default=True,
+                   help="print per-class AP table")
+    p.add_argument("--project", default="runs/val")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
     p.add_argument("--rect", action=argparse.BooleanOptionalAction, default=True,
                    help="aspect-ratio-bucketed batches, pad 0.5 — the "
                         "reference protocol (--no-rect for square letterbox)")
@@ -50,6 +60,9 @@ def main():
         iou_thres=opt.iou_thres, max_det=opt.max_det, task=opt.task,
         single_cls=opt.single_cls, workers=opt.workers, half=opt.half,
         save_json=opt.save_json, rect=opt.rect, native_space=opt.native_space,
+        augment=opt.augment, save_txt=opt.save_txt, save_conf=opt.save_conf,
+        save_hybrid=opt.save_hybrid, verbose=opt.verbose,
+        project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
     )
     print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
 

@@ -26,7 +26,7 @@ class LoadImages:
     meta) over files, dirs, globs, txt lists and videos."""
 
     def __init__(self, path, img_size=640, stride=32, auto=False,
-                 allow_private_urls=False):
+                 allow_private_urls=False, vid_stride=1):
         files = []
         for p in path if isinstance(path, (list, tuple)) else [str(path)]:
             if str(p).startswith(("http://", "https://")):
@@ -54,6 +54,7 @@ class LoadImages:
         self.img_size = img_size
         self.stride = stride
         self.auto = auto
+        self.vid_stride = vid_stride  # video frame-rate stride (ref detect.py --vid-stride)
         self.nf = len(self.files)
         if self.nf == 0:
             raise FileNotFoundError(f"no images/videos found in {path}")
@@ -79,10 +80,13 @@ class LoadImages:
                 ok, im0 = cap.read()
                 if not ok:
                     break
+                if frame % self.vid_stride:
+                    frame += 1
+                    continue
                 im, ratio, pad = letterbox(im0, self.img_size, auto=self.auto, stride=self.stride)
                 yield f, im[..., ::-1].copy(), im0, {
                     "ratio": ratio, "pad": pad, "frame": frame, "mode": "video",
-                    "fps": fps}
+                    "fps": fps / self.vid_stride}
                 frame += 1
             cap.release()
 

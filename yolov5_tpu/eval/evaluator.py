@@ -10,6 +10,7 @@ letterbox transform is a similarity.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -44,7 +45,8 @@ def _scale_to_native(boxes, lb_hw, native_hw):
 def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
              max_det=300, max_nms=30720, multi_label=True, verbose=False,
              compute_loss=None, save_json=None, coco91=False,
-             native_space=False):
+             native_space=False, tta_forward=None, save_txt_dir=None,
+             save_conf=False, save_hybrid=False, names=None):
     """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds.
 
     save_json: path to write COCO-format detections (xywh top-left, native
@@ -56,13 +58,19 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
     up to boundary clipping; this mode exists to quantify that delta.
     """
     json_rows = []
-    shapes = loader.ds.shapes if (save_json or native_space) else None
+    shapes = loader.ds.shapes if (save_json or native_space or save_txt_dir) \
+        else None
+    if save_txt_dir is not None:
+        from pathlib import Path as _P
+
+        save_txt_dir = _P(save_txt_dir)
+        save_txt_dir.mkdir(parents=True, exist_ok=True)
     iouv = np.linspace(0.5, 0.95, 10)
     img_size = loader.ds.img_size
 
     # cache the jitted forward on the model so per-epoch validation during
     # training reuses the compiled executable
-    forward = getattr(model, "_eval_forward", None)
+    forward = tta_forward or getattr(model, "_eval_forward", None)
     if forward is None:
         @jax.jit
         def forward(v, images):
@@ -81,6 +89,20 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         images = jnp.asarray(batch["images"])
         t0 = time.perf_counter()
         preds = forward(variables, images)
+        if save_hybrid:
+            # inject GT boxes as unit-confidence candidates before NMS — the
+            # reference's autolabelling path (val.py lb= -> general.py
+            # non_max_suppression(labels=...))
+            tgt = jnp.asarray(batch["targets"], jnp.float32)  # (bs, M, 5)
+            vmask = jnp.asarray(batch["valid"])
+            bh_, bw_ = images.shape[1], images.shape[2]
+            nc_ = preds.shape[-1] - 5
+            lab_xywh = tgt[..., 1:5] * jnp.asarray([bw_, bh_, bw_, bh_],
+                                                   jnp.float32)
+            onehot = jax.nn.one_hot(tgt[..., 0].astype(jnp.int32), nc_)
+            conf1 = vmask[..., None].astype(jnp.float32)
+            lab_rows = jnp.concatenate([lab_xywh, conf1, onehot * conf1], -1)
+            preds = jnp.concatenate([preds, lab_rows], axis=1)
         preds.block_until_ready()
         t1 = time.perf_counter()
         dets = non_max_suppression(
@@ -128,6 +150,22 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                     labels = np.zeros((0, 5), np.float32)
             correct = process_batch(pred, labels, iouv)
             stats.append((correct, pred[:, 4], pred[:, 5], labels[:, 0]))
+            if save_txt_dir is not None:
+                from pathlib import Path as _P
+
+                idx = int(batch["indices"][b])
+                nh, nw = (int(x) for x in loader.ds.shapes[idx])
+                nb_ = (pred[:, :4] if native_space
+                       else _scale_to_native(pred[:, :4], (bh, bw), (nh, nw)))
+                lines = []
+                for (x1, y1, x2, y2), row in zip(nb_, pred):
+                    rec = [int(row[5]), (x1 + x2) / 2 / nw, (y1 + y2) / 2 / nh,
+                           (x2 - x1) / nw, (y2 - y1) / nh]
+                    if save_conf:
+                        rec.append(row[4])
+                    lines.append(" ".join(f"{v:.6g}" for v in rec))
+                (save_txt_dir / f"{_P(batch['paths'][b]).stem}.txt").write_text(
+                    "\n".join(lines) + ("\n" if lines else ""))
             if save_json and len(pred):
                 from pathlib import Path
 
@@ -205,13 +243,21 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             f"val: {n_images} imgs  P {mp:.3f}  R {mr:.3f}  mAP50 {map50:.3f} "
             f"mAP50-95 {mean_ap:.3f}  ({out['speed_ms']})"
         )
+        if names and per_class and len(per_class) > 1:
+            # per-class AP table (reference val.py:252-259 verbose block)
+            for c, (a50, a) in sorted(per_class.items()):
+                n_t = int((target_cls == c).sum())
+                print(f"  {str(names.get(c, c)):>20s} {n_t:6d}  "
+                      f"mAP50 {a50:.3f}  mAP50-95 {a:.3f}")
     return out
 
 
 def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         conf_thres=0.001, iou_thres=0.6, max_det=300, single_cls=False,
         workers=8, half=False, verbose=True, task="val", save_json=None,
-        coco91=None, rect=True, native_space=True):
+        coco91=None, rect=True, native_space=True, augment=False,
+        save_txt=False, save_conf=False, save_hybrid=False,
+        project="runs/val", name="exp", exist_ok=False):
     """Standalone validation entry (reference val.py:112-440).
 
     Defaults match the reference protocol: rect batching (pad 0.5,
@@ -234,8 +280,21 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
                               stride=max(det.model.stride))
     if coco91 is None:  # auto: coco remap when the dataset looks like COCO
         coco91 = "coco" in str(data_dict.get("yaml_file", "")).lower()
+    save_txt_dir = None
+    if save_txt:
+        from yolov5_tpu.utils.general import increment_path
+
+        save_dir = increment_path(Path(project) / name, exist_ok=exist_ok,
+                                  mkdir=True)
+        save_txt_dir = save_dir / "labels"
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
                        iou_thres=iou_thres, max_det=max_det, verbose=verbose,
                        save_json=save_json, coco91=coco91,
-                       native_space=native_space)
+                       native_space=native_space,
+                       tta_forward=det._forward_tta if augment else None,
+                       save_txt_dir=save_txt_dir, save_conf=save_conf,
+                       save_hybrid=save_hybrid,
+                       names=det.names if verbose else None)
+    if save_txt_dir is not None:
+        results["save_dir"] = str(save_txt_dir.parent)
     return results

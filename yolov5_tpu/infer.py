@@ -51,7 +51,8 @@ def color_for(cls_id):
     return _PALETTE[int(cls_id) % len(_PALETTE)]
 
 
-def annotate(im, boxes, scores, classes, names, line_width=None):
+def annotate(im, boxes, scores, classes, names, line_width=None,
+             hide_labels=False, hide_conf=False):
     """Draw boxes + labels on a BGR image in place."""
     import cv2
 
@@ -60,7 +61,10 @@ def annotate(im, boxes, scores, classes, names, line_width=None):
         c = color_for(cls)
         p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
         cv2.rectangle(im, p1, p2, c, lw, cv2.LINE_AA)
-        label = f"{names.get(int(cls), int(cls))} {score:.2f}"
+        if hide_labels:
+            continue
+        label = (f"{names.get(int(cls), int(cls))}" if hide_conf else
+                 f"{names.get(int(cls), int(cls))} {score:.2f}")
         tf = max(lw - 1, 1)
         w, h = cv2.getTextSize(label, 0, lw / 3, tf)[0]
         outside = p1[1] - h >= 3
@@ -287,11 +291,29 @@ class Detector:
         )
 
 
+def save_one_box(box, im0, path, gain=1.02, pad=10):
+    """Crop a detection (xyxy) from the original image with margin and save
+    (reference utils/plots.py save_one_box: gain 1.02, pad 10px, clipped)."""
+    import cv2
+
+    h0, w0 = im0.shape[:2]
+    x1, y1, x2, y2 = box
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    bw = (x2 - x1) * gain + 2 * pad
+    bh = (y2 - y1) * gain + 2 * pad
+    x1 = int(max(cx - bw / 2, 0)); x2 = int(min(cx + bw / 2, w0))
+    y1 = int(max(cy - bh / 2, 0)); y2 = int(min(cy + bh / 2, h0))
+    path.parent.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(path), im0[y1:y2, x1:x2])
+
+
 def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         iou_thres=0.45, max_det=1000, classes=None, agnostic_nms=False,
         save_txt=False, save_conf=False, save_img=True, project="runs/detect",
         name="exp", exist_ok=False, line_thickness=None, batch_size=1,
-        half=False, verbose=True):
+        half=False, verbose=True, augment=False, data=None, hide_labels=False,
+        hide_conf=False, save_crop=False, save_csv=False, vid_stride=1,
+        view_img=False):
     """Detect over a source; save annotated images / label txts. Returns
     the list of (path, detections (n,6) native-space) results."""
     import cv2
@@ -299,6 +321,13 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
     (save_dir / "labels").mkdir(exist_ok=True)
     det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half)
+    if data:  # class names from a dataset yaml (reference --data role)
+        import yaml as _yaml
+
+        names = _yaml.safe_load(Path(data).read_text()).get("names")
+        if names:
+            det.names = {int(k): v for k, v in (names.items()
+                         if isinstance(names, dict) else enumerate(names))}
     det.warmup(batch_size)
     s = str(source)
     if s.startswith("screen"):
@@ -311,7 +340,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         srcs = Path(s).read_text().split() if s.endswith(".streams") else s
         source_iter = LoadStreams(srcs, img_size=imgsz)
     else:
-        source_iter = LoadImages(source, img_size=imgsz)
+        source_iter = LoadImages(source, img_size=imgsz, vid_stride=vid_stride)
     results = []
     t_total = 0.0
     vid_writers = {}  # source path -> cv2.VideoWriter (reference detect.py:286-310)
@@ -345,7 +374,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
                 break
             group, ims = item
             dets = det(ims, conf_thres, iou_thres, max_det, classes,
-                       agnostic_nms)  # async dispatch
+                       agnostic_nms, augment=augment)  # async dispatch
             if pending is not None:
                 pg, pd = pending
                 yield pg, detections_to_numpy(pd)  # sync one batch behind
@@ -354,6 +383,7 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
             pg, pd = pending
             yield pg, detections_to_numpy(pd)
 
+    csv_rows = []  # (image, prediction, confidence) — reference --save-csv
     t_wall0 = time.perf_counter()
     for group, rows in staged():
         t_total = time.perf_counter() - t_wall0
@@ -384,9 +414,29 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
                     lines.append(" ".join(f"{v:.6g}" for v in row))
                 (save_dir / "labels" / f"{stem}{frame_tag}.txt").write_text(
                     "\n".join(lines) + "\n")
-            if save_img:
+            if save_csv:
+                for *xyxy, conf, cls in r:
+                    csv_rows.append((Path(path).name,
+                                     det.names.get(int(cls), int(cls)),
+                                     f"{conf:.2f}"))
+            if save_crop:
+                for j, (*xyxy, conf, cls) in enumerate(r):
+                    cname = str(det.names.get(int(cls), int(cls)))
+                    save_one_box(xyxy, im0, save_dir / "crops" / cname /
+                                 f"{stem}{frame_tag}_{j}.jpg")
+            if save_img or view_img:
                 im_out = im0.copy()
-                annotate(im_out, r[:, :4], r[:, 4], r[:, 5], det.names, line_thickness)
+                annotate(im_out, r[:, :4], r[:, 4], r[:, 5], det.names,
+                         line_thickness, hide_labels=hide_labels,
+                         hide_conf=hide_conf)
+                if view_img:
+                    try:
+                        cv2.imshow(str(path), im_out)
+                        cv2.waitKey(1)
+                    except cv2.error:
+                        view_img = False  # headless: warn once, keep going
+                        print("--view-img: no display available, disabled")
+            if save_img:
                 if mode == "image":
                     cv2.imwrite(str(save_dir / Path(path).name), im_out)
                 else:
@@ -404,6 +454,13 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
                     w.write(im_out)
     for w in vid_writers.values():
         w.release()
+    if save_csv and csv_rows:
+        import csv as _csv
+
+        with open(save_dir / "predictions.csv", "w", newline="") as f:
+            wcsv = _csv.writer(f)
+            wcsv.writerow(["Image Name", "Prediction", "Confidence"])
+            wcsv.writerows(csv_rows)
     if verbose:
         n = max(len(results), 1)
         print(f"done: {len(results)} images, {1000 * t_total / n:.1f} ms/img "

@@ -71,6 +71,27 @@ def save_checkpoint(path, state, model, epoch=-1, best_fitness=0.0, extra=None,
     Path(str(path) + ".json").write_text(json.dumps(meta, indent=1, default=str))
 
 
+def strip_optimizer(path, out=None):
+    """Drop the optimizer state (and training counters) from a checkpoint —
+    the reference's strip_optimizer (utils/general.py:770-787) role for
+    --update / end-of-evolve. Rewrites in place unless ``out`` is given;
+    returns the output path and prints the size delta."""
+    path = Path(path)
+    payload = serialization.msgpack_restore(path.read_bytes())
+    before = path.stat().st_size
+    payload.pop("opt_state", None)
+    out = Path(out) if out else path
+    out.write_bytes(serialization.msgpack_serialize(payload))
+    meta_path = Path(str(path) + ".json")
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        meta["epoch"] = -1
+        Path(str(out) + ".json").write_text(json.dumps(meta, indent=1, default=str))
+    print(f"strip_optimizer: {path} {before/1e6:.1f}MB -> "
+          f"{out.stat().st_size/1e6:.1f}MB")
+    return out
+
+
 def load_checkpoint(path):
     """Returns (payload dict of numpy trees, meta dict)."""
     path = Path(path)
