@@ -14,6 +14,11 @@ def parse_opt():
     p.add_argument("--cfg", default="yolov5n", help="model config name/path")
     p.add_argument("--data", required=True, help="dataset yaml")
     p.add_argument("--hyp", default=None, help="hyp preset name or yaml")
+    p.add_argument("--label-smoothing", type=float, default=0.0, help="cls BCE eps")
+    p.add_argument("--noplots", action="store_true", help="skip end-of-train plots")
+    p.add_argument("--rect", action="store_true", help="rectangular training (no mosaic/shuffle)")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="no-op: global-batch BN stats are always on under GSPMD")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--imgsz", "--img", type=int, default=640)
@@ -79,6 +84,8 @@ def main():
 
     run(
         data=opt.data, cfg=opt.cfg, hyp=opt.hyp, weights=opt.weights,
+        label_smoothing=opt.label_smoothing, noplots=opt.noplots,
+        rect=opt.rect, sync_bn=opt.sync_bn,
         epochs=opt.epochs, batch_size=opt.batch_size, imgsz=opt.imgsz,
         optimizer=opt.optimizer, cos_lr=opt.cos_lr, seed=opt.seed,
         workers=opt.workers, single_cls=opt.single_cls, patience=opt.patience,

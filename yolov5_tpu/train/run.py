@@ -106,6 +106,10 @@ def run(
     noautoanchor=False,
     device_aug=False,
     quad=False,
+    label_smoothing=0.0,
+    noplots=False,
+    rect=False,
+    sync_bn=False,
     _resume_ckpt=None,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
@@ -146,6 +150,12 @@ def run(
         ).items()
     }
     hyp = load_hyp(hyp)
+    if label_smoothing:
+        hyp["label_smoothing"] = float(label_smoothing)
+    if sync_bn:
+        # BN stats are GLOBAL-batch by construction under jit+GSPMD (see
+        # PARITY 2.6) — the flag exists for reference CLI compatibility
+        print("--sync-bn: cross-device BN stats are always on under GSPMD")
 
     save_dir = Path(save_dir) if save_dir else increment_path(
         Path(project) / name, exist_ok=exist_ok)
@@ -200,11 +210,19 @@ def run(
     # with device_aug + mosaic the host only decodes raw 4-tile batches;
     # composition, geometry, HSV and flips all run inside the jitted step
     device_mosaic = device_aug and hyp.get("mosaic", 0) > 0
+    if rect and (device_aug or image_weights):
+        raise ValueError("--rect training needs the host loader without "
+                         "shuffle (reference dataloaders.py:148); drop "
+                         "--device-aug/--image-weights or --rect")
+    if rect:
+        hyp = dict(hyp, mosaic=0.0)  # reference: rect disables mosaic
+        device_mosaic = False
     train_ds, train_loader = create_loader(
         data_dict["train"], img_size=imgsz, batch_size=batch_size, augment=True,
         hyp=hyp, workers=workers, max_labels=max_labels, seed=seed,
         shard=(rank, world), single_cls=single_cls, cache=cache,
         device_aug=device_aug, raw_images=device_mosaic, quad=quad,
+        rect=rect, shuffle=not rect,
     )
     max_labels = train_loader.max_labels  # resolved if auto
     if not noautoanchor and not _resume_ckpt and not weights:
@@ -395,10 +413,11 @@ def run(
 
     train_loader.close()
     print(f"done in {(time.time() - t_start) / 3600:.2f}h, best fitness {best_fitness:.4f}")
-    from yolov5_tpu.utils.plots import plot_labels, plot_results
+    if not noplots:
+        from yolov5_tpu.utils.plots import plot_labels, plot_results
 
-    plot_results(save_dir / "results.csv")
-    plot_labels(train_ds.labels, model.names, save_dir)
+        plot_results(save_dir / "results.csv")
+        plot_labels(train_ds.labels, model.names, save_dir)
     callbacks.run("on_train_end")
     if best.exists():
         loggers.log_model(best)
