@@ -77,6 +77,18 @@ def main():
                      "ms": round((time.perf_counter() - t0) * 1000, 2),
                      "max_abs_diff": round(diff, 5)})
 
+    if arts.get("onnx"):
+        from yolov5_tpu.onnx.runtime import Runtime
+        from pathlib import Path
+
+        rt = Runtime(Path(arts["onnx"]).read_bytes())
+        t0 = time.perf_counter()
+        out = rt(im)[0].astype(np.float32)
+        diff = float(np.abs(out - ref).max()) if out.shape == ref.shape else -1.0
+        rows.append({"format": "onnx (mini-runtime)", "ok": 0 <= diff < 0.1,
+                     "ms": round((time.perf_counter() - t0) * 1000, 2),
+                     "max_abs_diff": round(diff, 5)})
+
     if arts.get("stablehlo"):
         rows.append({"format": "stablehlo", "ok": True, "ms": None,
                      "max_abs_diff": None, "note": "serialized module artifact"})

@@ -9,10 +9,14 @@ The reference ships a 12-format exporter built around torch tracing
 | stablehlo    | .stablehlo serialized module  | jax.export              |
 | saved_model  | TF SavedModel dir             | jax2tf                  |
 | tflite       | .tflite flatbuffer (+int8)    | TFLiteConverter         |
+| onnx         | .onnx (opset 13, NCHW graph)  | yolov5_tpu.onnx (native)|
 
-ONNX / TensorRT / CoreML / OpenVINO / paddle need toolchains absent from this
-zero-egress image; `export_formats()` reports them unavailable with the
-reason instead of failing cryptically (the reference's try_export contract,
+ONNX needs no external toolchain: yolov5_tpu/onnx/ traces the jaxpr and
+emits the protobuf directly (verified against torch's serializer and an
+in-house mini-runtime — see tests/test_onnx.py). TensorRT / CoreML /
+OpenVINO / paddle need toolchains absent from this zero-egress image;
+`export_formats()` reports them unavailable with the reason instead of
+failing cryptically (the reference's try_export contract,
 export.py:182-221). StableHLO is the portable interchange format here — it
 is what those toolchains increasingly consume.
 """
@@ -42,7 +46,7 @@ def export_formats():
         ("stablehlo", ".stablehlo", True, "jax.export serialized StableHLO"),
         ("saved_model", "_saved_model", tf_ok, tf_note or "jax2tf"),
         ("tflite", ".tflite", tf_ok, tf_note or "fp16/int8"),
-        ("onnx", ".onnx", False, "onnx package unavailable; use stablehlo"),
+        ("onnx", ".onnx", True, "native jaxpr->ONNX emitter (opset 13)"),
         ("engine", ".engine", False, "TensorRT is CUDA-only; n/a on TPU"),
         ("coreml", ".mlmodel", False, "coremltools unavailable"),
         ("openvino", "_openvino_model", False, "openvino unavailable"),
@@ -124,6 +128,23 @@ def export_stablehlo(forward, example, file):
 
 
 @try_export
+def export_onnx(forward, example, file, meta=None):
+    """ONNX via the in-house jaxpr converter (yolov5_tpu/onnx/) — the image
+    has no onnx package, so the protobuf is emitted directly (reference
+    export.py:327-372 does this through torch.onnx + the onnx pip pkg)."""
+    from yolov5_tpu.onnx import to_onnx
+
+    data = to_onnx(forward, example, input_names=["images"],
+                   model_name=Path(file).stem,
+                   doc="yolov5_tpu ONNX export",
+                   metadata={k: json.dumps(v, default=str)
+                             for k, v in (meta or {}).items()})
+    file = Path(file)
+    file.write_bytes(data)
+    return file
+
+
+@try_export
 def export_saved_model(forward, example, file):
     import tensorflow as tf
     from jax.experimental import jax2tf
@@ -194,6 +215,9 @@ def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
         if artifacts["stablehlo"]:
             Path(str(artifacts["stablehlo"]) + ".json").write_text(
                 json.dumps(meta, indent=1, default=str))
+    if "onnx" in include:
+        artifacts["onnx"] = export_onnx(forward, example,
+                                        out_dir / f"{stem}.onnx", meta=meta)
     sm_dir = None
     if "saved_model" in include or "tflite" in include:
         sm_dir = export_saved_model(forward, example, out_dir / f"{stem}_saved_model")

@@ -117,6 +117,9 @@ class Detector:
         if w.endswith("_saved_model") or w.endswith(".tflite"):
             self._init_tf_backend(w, imgsz, dtype)
             return
+        if w.endswith(".onnx"):
+            self._init_onnx_backend(w, imgsz, dtype)
+            return
         if w.startswith(("triton+http://", "triton+https://")):
             self._init_remote_backend(w, imgsz, dtype)
             return
@@ -245,6 +248,35 @@ class Detector:
                 return jnp.asarray(interp.get_tensor(outd["index"]))
 
         self._forward = fwd
+
+    def _init_onnx_backend(self, w, imgsz, dtype):
+        """Run a .onnx artifact through the in-house mini-runtime (no
+        onnxruntime in the image; reference models/common.py:519-531 runs
+        ONNX via onnxruntime). CPU-speed — a parity/portability backend,
+        not the production path."""
+        import json
+        from pathlib import Path
+
+        from yolov5_tpu.onnx.runtime import Runtime
+
+        rt = Runtime(Path(w).read_bytes())
+        meta = {}
+        for k, v in rt.model.metadata.items():
+            try:
+                meta[k] = json.loads(v)
+            except (json.JSONDecodeError, TypeError):
+                meta[k] = v
+        self.names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+        self.nc = int(meta.get("nc", max(self.names, default=79) + 1))
+        self.imgsz = int(meta.get("imgsz", imgsz))
+        self.dtype = dtype
+        self.model = None
+        self.variables = None
+        self.fused = True
+        self._forward_tta = None
+        self.backend = "onnx"
+        self._forward = lambda _, images: jnp.asarray(
+            rt(np.asarray(images))[0])
 
     def _init_remote_backend(self, w, imgsz, dtype):
         """KServe/Triton v2 HTTP remote model as the forward (the reference
