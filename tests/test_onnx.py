@@ -154,6 +154,23 @@ def test_segment_export_matches_jax():
                       atol=2e-3, rtol=2e-3, n_outputs=2)
 
 
+def test_leaky_relu_variant_export():
+    """LeakyReLU traces as ge + select_n -> GreaterOrEqual + Where."""
+    from yolov5_tpu.models.yolo import DetectionModel
+
+    m = DetectionModel("yolov5s-LeakyReLU", fused=True)
+    v = m.variables
+
+    def fwd(img):
+        x = img.astype(jnp.float32) / 255.0
+        return m.decode(m.apply(v, x, train=False))
+
+    data = _export_and_check(fwd, jnp.zeros((1, 128, 128, 3), jnp.uint8),
+                             atol=2e-3, rtol=2e-3)
+    ops = _ops(data)
+    assert "GreaterOrEqual" in ops and "Where" in ops
+
+
 def test_small_function_export():
     """Exporter is model-agnostic: any jittable fn over the primitive set."""
 

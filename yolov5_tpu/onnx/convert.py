@@ -180,6 +180,9 @@ def _fold(b: _Builder, eqn):
 _ELTWISE = {
     "add": "Add", "sub": "Sub", "mul": "Mul", "div": "Div",
     "max": "Max", "min": "Min", "pow": "Pow",
+    "gt": "Greater", "ge": "GreaterOrEqual", "lt": "Less",
+    "le": "LessOrEqual", "eq": "Equal", "and": "And", "or": "Or",
+    "xor": "Xor",
 }
 _UNARY = {
     "logistic": "Sigmoid", "exp": "Exp", "tanh": "Tanh", "log": "Log",
@@ -400,6 +403,16 @@ def _process_eqn(b: _Builder, eqn, skip, resize):
     if p in _UNARY and _UNARY[p]:
         names, perm = b.align(eqn.invars)
         out = b.emit(_UNARY[p], names, hint=p)
+        b.record(eqn.outvars[0], ("g", out, perm))
+        return
+
+    if p in ("ne", "not"):
+        names, perm = b.align(eqn.invars)
+        if p == "ne":
+            e = b.emit("Equal", names, hint="eq")
+            out = b.emit("Not", [e], hint="ne")
+        else:
+            out = b.emit("Not", names, hint="not")
         b.record(eqn.outvars[0], ("g", out, perm))
         return
 

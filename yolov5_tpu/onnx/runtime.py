@@ -175,6 +175,24 @@ class Runtime:
             return np.sign(ins[0])
         if op == "Where":
             return np.where(ins[0], ins[1], ins[2])
+        if op == "Greater":
+            return ins[0] > ins[1]
+        if op == "GreaterOrEqual":
+            return ins[0] >= ins[1]
+        if op == "Less":
+            return ins[0] < ins[1]
+        if op == "LessOrEqual":
+            return ins[0] <= ins[1]
+        if op == "Equal":
+            return ins[0] == ins[1]
+        if op == "Not":
+            return ~ins[0]
+        if op == "And":
+            return ins[0] & ins[1]
+        if op == "Or":
+            return ins[0] | ins[1]
+        if op == "Xor":
+            return ins[0] ^ ins[1]
         if op == "Cast":
             return ins[0].astype(proto.np_dtype(a["to"]))
         if op == "Concat":
