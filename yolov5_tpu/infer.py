@@ -154,6 +154,11 @@ class Detector:
                 self.fused = True
             except Exception as e:  # pragma: no cover
                 print(f"fuse failed ({e}); running unfused")
+        # pin params to device once: checkpoint loads (and any unfolded
+        # fuse_conv_bn leaves) are host numpy, and passing a host leaf to a
+        # jitted call re-uploads it on EVERY inference — ~30 MB/call over a
+        # tunneled TPU
+        self.variables = jax.device_put(self.variables)
         self.names = names or self.model.names
         self.nc = self.model.nc
         self.imgsz = imgsz
