@@ -36,6 +36,53 @@ def chain_time(fn, args, k=20):
     return float(np.median(times))
 
 
+def _train_step_time(batch, imgsz, k_lo=5, k_hi=15):
+    """Median marginal time of the full jitted train step (forward, loss,
+    backward, optimizer, EMA) on yolov5s at the headline shape point."""
+    from yolov5_tpu.models import DetectionModel
+    from yolov5_tpu.train.loss import ComputeLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+    from yolov5_tpu.utils.hyp import load_hyp
+
+    model = DetectionModel("yolov5s", dtype=jnp.bfloat16)
+    hyp = scale_hyp(load_hyp("scratch-low"), nl=len(model.stride),
+                    nc=model.nc, imgsz=imgsz)
+    loss_fn = ComputeLoss(model.anchors_per_stride, model.nc, hyp)
+    tx = build_optimizer(model.params, hyp, epochs=300, steps_per_epoch=128,
+                         batch_size=batch)
+    step = make_train_step(model, loss_fn, tx)
+
+    rng = np.random.default_rng(0)
+    m = 32  # labels per image
+    images = jnp.asarray(rng.uniform(0, 1, (batch, imgsz, imgsz, 3)), jnp.bfloat16)
+    cls = rng.integers(0, model.nc, (batch, m, 1))
+    cxy = rng.uniform(0.2, 0.8, (batch, m, 2))
+    wh = rng.uniform(0.05, 0.3, (batch, m, 2))
+    targets = jnp.asarray(np.concatenate([cls, cxy, wh], -1), jnp.float32)
+    batch_d = {"images": images, "targets": targets,
+               "valid": jnp.ones((batch, m), bool)}
+
+    def run(state, k):
+        for _ in range(k):
+            state, metrics = step(state, batch_d)
+        _ = float(metrics["total"])
+        return state
+
+    state = init_train_state(model, tx)
+    state = run(state, 1)  # compile + warm
+    ts = []
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        state = run(state, k_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state = run(state, k_hi)
+        t_hi = time.perf_counter() - t0
+        ts.append((t_hi - t_lo) / (k_hi - k_lo))
+    return float(np.median(ts))
+
+
 def main(batch=32, imgsz=640, k=20):
     from yolov5_tpu.models import DetectionModel
     from yolov5_tpu.models.weights import fuse_conv_bn
@@ -121,6 +168,13 @@ def main(batch=32, imgsz=640, k=20):
     PEAK_BF16 = 197e12
     mfu = dev_img_s * FLOPS_PER_IMG / PEAK_BF16
 
+    # Training throughput: full step (forward, loss, backward, SGD+EMA) at
+    # the same shape point. Reference anchor: "300 epochs ≈ 2 days" for
+    # yolov5s on one V100 (reference README.md:148) over COCO train2017
+    # (118,287 images) ≈ 205 img/s.
+    t_train = _train_step_time(batch, imgsz)
+    train_img_s = batch / t_train
+
     result = {
         "metric": "yolov5s_640_bf16_images_per_sec_per_chip_b32",
         "value": round(dev_img_s, 1),
@@ -133,6 +187,9 @@ def main(batch=32, imgsz=640, k=20):
             "with_dispatch_ms_per_img": round(t_fwd * 1000 / batch, 3),
             "nms_ms_per_img_p50": round(nms_ms, 3),
             "nms_eval30k_ms_per_img_p50": round(nms_eval_ms, 3),
+            "train_img_s": round(train_img_s, 1),
+            "train_ms_per_img": round(t_train * 1000 / batch, 3),
+            "train_vs_v100_300ep_2d": round(train_img_s / 205.0, 2),
             "batch": batch,
             "device": str(jax.devices()[0]),
         },

@@ -88,6 +88,20 @@ def main():
         rows.append({"format": "onnx (mini-runtime)", "ok": 0 <= diff < 0.1,
                      "ms": round((time.perf_counter() - t0) * 1000, 2),
                      "max_abs_diff": round(diff, 5)})
+        try:
+            import cv2
+
+            net = cv2.dnn.readNetFromONNX(str(arts["onnx"]))
+            net.setInput(im)
+            t0 = time.perf_counter()
+            out = net.forward().astype(np.float32)
+            diff = float(np.abs(out - ref).max()) if out.shape == ref.shape else -1.0
+            rows.append({"format": "onnx (cv2.dnn)", "ok": 0 <= diff < 0.1,
+                         "ms": round((time.perf_counter() - t0) * 1000, 2),
+                         "max_abs_diff": round(diff, 5)})
+        except Exception as e:  # noqa: BLE001 — optional backend, report & move on
+            rows.append({"format": "onnx (cv2.dnn)", "ok": False,
+                         "note": f"unavailable: {e}"})
 
     if arts.get("stablehlo"):
         rows.append({"format": "stablehlo", "ok": True, "ms": None,

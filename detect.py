@@ -37,6 +37,8 @@ def parse_opt():
     p.add_argument("--line-thickness", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--half", action="store_true")
+    p.add_argument("--dnn", action="store_true",
+                   help="run .onnx weights via OpenCV DNN instead of the mini-runtime")
     p.add_argument("--device", default="")
     return p.parse_args()
 
@@ -59,7 +61,7 @@ def main():
         half=opt.half, augment=opt.augment, data=opt.data,
         hide_labels=opt.hide_labels, hide_conf=opt.hide_conf,
         save_crop=opt.save_crop, save_csv=opt.save_csv,
-        vid_stride=opt.vid_stride, view_img=opt.view_img,
+        vid_stride=opt.vid_stride, view_img=opt.view_img, dnn=opt.dnn,
     )
     if opt.update:
         from yolov5_tpu.utils.checkpoint import strip_optimizer

@@ -31,6 +31,18 @@ def main():
     t.add_argument("--device-aug", action="store_true",
                    help="device-resident dataset + on-device mosaic/aug/mask raster")
     t.add_argument("--cache", default=None, choices=["ram", "disk", "device"])
+    t.add_argument("--weights", default="", help="pretrained init: .ckpt or reference .pt")
+    t.add_argument("--resume", nargs="?", const=True, default="",
+                   help="resume most recent (or given) seg run")
+    t.add_argument("--patience", type=int, default=100)
+    t.add_argument("--freeze", type=int, default=0, help="freeze first N layers")
+    t.add_argument("--label-smoothing", type=float, default=0.0)
+    t.add_argument("--save-period", type=int, default=-1)
+    t.add_argument("--noautoanchor", action="store_true")
+    t.add_argument("--noplots", action="store_true")
+    t.add_argument("--sync-bn", action="store_true",
+                   help="accepted for reference CLI parity (always on under GSPMD)")
+    t.add_argument("--device", default="", help="'' = default backend, 'cpu' forces CPU")
 
     v = sub.add_parser("val")
     v.add_argument("--data", required=True)
@@ -51,6 +63,10 @@ def main():
 
     opt = p.parse_args()
     if opt.cmd == "train":
+        if opt.device == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         from yolov5_tpu.parallel.distributed import init_distributed
 
         init_distributed()  # no-op unless WORLD_SIZE/RANK env set
@@ -62,7 +78,11 @@ def main():
             single_cls=opt.single_cls, mask_ratio=opt.mask_ratio,
             no_overlap=opt.no_overlap, project=opt.project, name=opt.name,
             exist_ok=opt.exist_ok, noval=opt.noval, nosave=opt.nosave,
-            device_aug=opt.device_aug, cache=opt.cache)
+            device_aug=opt.device_aug, cache=opt.cache, weights=opt.weights,
+            resume=opt.resume, patience=opt.patience, freeze=opt.freeze or None,
+            label_smoothing=opt.label_smoothing, save_period=opt.save_period,
+            noautoanchor=opt.noautoanchor, noplots=opt.noplots,
+            sync_bn=opt.sync_bn)
     elif opt.cmd == "val":
         from yolov5_tpu.data.dataset import create_loader
         from yolov5_tpu.train.run_segment import evaluate_segment

@@ -199,3 +199,31 @@ def test_const_folding_collapses_decode_grids():
     data = to_onnx(fn, jnp.zeros((1, 4, 4, 2), jnp.float32))
     ops = _ops(data)
     assert ops == ["Add"] or ops == ["Add", "Identity"]
+
+
+def test_cv2_dnn_backend_matches_mini_runtime(tmp_path):
+    """A third independent execution engine: OpenCV's DNN module runs the
+    exported graph (the reference's --dnn backend, models/common.py:515-517)
+    and must agree with both the mini-runtime and JAX."""
+    cv2 = pytest.importorskip("cv2")
+    if not hasattr(cv2, "dnn"):
+        pytest.skip("cv2 built without dnn")
+
+    from yolov5_tpu.export import run as export_run
+    from yolov5_tpu.infer import Detector
+
+    arts = export_run(cfg="yolov5n", imgsz=64, include=("onnx",),
+                      output_dir=str(tmp_path))
+    w = str(arts["onnx"])
+    rng = np.random.default_rng(0)
+    im = rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+
+    det_rt = Detector(w)
+    det_dnn = Detector(w, dnn=True)
+    assert det_rt.backend == "onnx" and det_dnn.backend == "onnx-dnn"
+    out_rt = np.asarray(det_rt._forward(None, im), np.float32)
+    out_dnn = np.asarray(det_dnn._forward(None, im), np.float32)
+    assert out_rt.shape == out_dnn.shape
+    np.testing.assert_allclose(out_dnn, out_rt, atol=2e-3, rtol=2e-3)
+    # metadata (names/nc) survives the dnn path: parsed via our codec
+    assert det_dnn.nc == det_rt.nc

@@ -156,3 +156,45 @@ def test_device_mask_iou_matches_host(rng):
     # host reference on the SAME binary masks: must be exact (integer sums)
     iou_host = mask_iou(gtf, pmf)
     np.testing.assert_allclose(iou_dev, iou_host, atol=1e-6)
+
+
+def test_seg_run_resume_e2e(tmp_path):
+    """Seg trainer has the full train.py feature surface (reference
+    segment/train.py forks train.py wholesale): kill after 2 epochs, resume
+    to 4 — config rehydrates from opt.yaml and the step counter continues."""
+    import yaml
+
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+    from yolov5_tpu.train.run_segment import run
+    from yolov5_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = generate_shapes_dataset(tmp_path / "shapes", n_images=16, img_size=96,
+                                  seed=0, segments=True,
+                                  splits=(("train", 1.0), ("val", 0.5)))
+    data_yaml = tmp_path / "shapes.yaml"
+    data_yaml.write_text(yaml.safe_dump(cfg))
+
+    kw = dict(data=str(data_yaml), cfg=SEG_CFG, epochs=2, batch_size=8,
+              imgsz=96, workers=2, max_labels=16,
+              project=str(tmp_path / "runs"), name="r", exist_ok=True,
+              noautoanchor=True, noplots=True,
+              hyp={**HYP, "mosaic": 0.0, "warmup_epochs": 0.0, "hsv_h": 0.0,
+                   "hsv_s": 0.0, "hsv_v": 0.0, "degrees": 0.0, "translate": 0.0,
+                   "scale": 0.0, "shear": 0.0, "perspective": 0.0, "flipud": 0.0,
+                   "fliplr": 0.0, "mixup": 0.0, "copy_paste": 0.0})
+    _, _, save_dir = run(**kw)
+    assert (save_dir / "opt.yaml").exists() and (save_dir / "hyp.yaml").exists()
+    payload1, meta1 = load_checkpoint(save_dir / "last.ckpt")
+    assert meta1["epoch"] == 1
+    assert payload1.get("opt_state") is not None
+
+    opt = yaml.safe_load((save_dir / "opt.yaml").read_text())
+    opt["epochs"] = 4
+    (save_dir / "opt.yaml").write_text(yaml.safe_dump(opt))
+    _, _, save_dir2 = run(data=str(data_yaml),
+                          resume=str(save_dir / "last.ckpt"),
+                          project=str(tmp_path / "runs"))
+    assert str(save_dir2) == str(save_dir)
+    payload2, meta2 = load_checkpoint(save_dir / "last.ckpt")
+    assert meta2["epoch"] == 3
+    assert int(payload2["step"]) == 2 * int(payload1["step"])

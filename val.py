@@ -42,6 +42,8 @@ def parse_opt():
                    help="match predictions in original image coordinates "
                         "(reference val.py behavior); --no-native-space "
                         "matches in letterbox space")
+    p.add_argument("--dnn", action="store_true",
+                   help="run .onnx weights via OpenCV DNN instead of the mini-runtime")
     p.add_argument("--device", default="")
     return p.parse_args()
 
@@ -63,6 +65,7 @@ def main():
         augment=opt.augment, save_txt=opt.save_txt, save_conf=opt.save_conf,
         save_hybrid=opt.save_hybrid, verbose=opt.verbose,
         project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
+        dnn=opt.dnn,
     )
     print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
 

@@ -257,7 +257,7 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         workers=8, half=False, verbose=True, task="val", save_json=None,
         coco91=None, rect=True, native_space=True, augment=False,
         save_txt=False, save_conf=False, save_hybrid=False,
-        project="runs/val", name="exp", exist_ok=False):
+        project="runs/val", name="exp", exist_ok=False, dnn=False):
     """Standalone validation entry (reference val.py:112-440).
 
     Defaults match the reference protocol: rect batching (pad 0.5,
@@ -271,13 +271,18 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
     from yolov5_tpu.utils.general import check_dataset, check_img_size
 
     data_dict = check_dataset(data)
-    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half, fuse=True)
-    imgsz = check_img_size(imgsz, s=max(det.model.stride))
+    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half, fuse=True, dnn=dnn)
+    # exported backends (.onnx/.tflite/_saved_model) carry no model object —
+    # they run through det._forward with a fixed input size (reference
+    # DetectMultiBackend val, val.py:152-170)
+    stride = max(det.model.stride) if det.model is not None else 32
+    imgsz = check_img_size(imgsz, s=stride)
     split = data_dict.get(task) or data_dict.get("val") or data_dict["train"]
     _, loader = create_loader(split, img_size=imgsz, batch_size=batch_size,
                               augment=False, shuffle=False, workers=workers,
-                              single_cls=single_cls, rect=rect,
-                              stride=max(det.model.stride))
+                              single_cls=single_cls,
+                              rect=rect and det.model is not None,
+                              stride=stride)
     if coco91 is None:  # auto: coco remap when the dataset looks like COCO
         coco91 = "coco" in str(data_dict.get("yaml_file", "")).lower()
     save_txt_dir = None
@@ -287,11 +292,14 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         save_dir = increment_path(Path(project) / name, exist_ok=exist_ok,
                                   mkdir=True)
         save_txt_dir = save_dir / "labels"
+    fwd = det._forward_tta if augment else None
+    if det.model is None:
+        fwd = det._forward  # exported backend: the graph already decodes
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
                        iou_thres=iou_thres, max_det=max_det, verbose=verbose,
                        save_json=save_json, coco91=coco91,
                        native_space=native_space,
-                       tta_forward=det._forward_tta if augment else None,
+                       tta_forward=fwd,
                        save_txt_dir=save_txt_dir, save_conf=save_conf,
                        save_hybrid=save_hybrid,
                        names=det.names if verbose else None)

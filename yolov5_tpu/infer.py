@@ -107,7 +107,7 @@ class Detector:
     """Weights in, detections out. Accepts our .ckpt or reference .pt."""
 
     def __init__(self, weights="", cfg="yolov5s", imgsz=640, dtype=jnp.float32,
-                 fuse=True, half=False):
+                 fuse=True, half=False, dnn=False):
         if half:
             dtype = jnp.bfloat16
         names = None
@@ -118,7 +118,7 @@ class Detector:
             self._init_tf_backend(w, imgsz, dtype)
             return
         if w.endswith(".onnx"):
-            self._init_onnx_backend(w, imgsz, dtype)
+            self._init_onnx_backend(w, imgsz, dtype, dnn=dnn)
             return
         if w.startswith(("triton+http://", "triton+https://")):
             self._init_remote_backend(w, imgsz, dtype)
@@ -254,19 +254,20 @@ class Detector:
 
         self._forward = fwd
 
-    def _init_onnx_backend(self, w, imgsz, dtype):
+    def _init_onnx_backend(self, w, imgsz, dtype, dnn=False):
         """Run a .onnx artifact through the in-house mini-runtime (no
         onnxruntime in the image; reference models/common.py:519-531 runs
-        ONNX via onnxruntime). CPU-speed — a parity/portability backend,
-        not the production path."""
+        ONNX via onnxruntime) or, with dnn=True, through OpenCV's DNN module
+        — the reference's --dnn backend (models/common.py:515-517). Both are
+        CPU-speed parity/portability backends, not the production path."""
         import json
         from pathlib import Path
 
-        from yolov5_tpu.onnx.runtime import Runtime
+        from yolov5_tpu.onnx import proto
 
-        rt = Runtime(Path(w).read_bytes())
+        buf = Path(w).read_bytes()
         meta = {}
-        for k, v in rt.model.metadata.items():
+        for k, v in proto.parse_model(buf).metadata.items():
             try:
                 meta[k] = json.loads(v)
             except (json.JSONDecodeError, TypeError):
@@ -279,9 +280,25 @@ class Detector:
         self.variables = None
         self.fused = True
         self._forward_tta = None
-        self.backend = "onnx"
-        self._forward = lambda _, images: jnp.asarray(
-            rt(np.asarray(images))[0])
+        if dnn:
+            import cv2
+
+            net = cv2.dnn.readNetFromONNX(w)
+            self.backend = "onnx-dnn"
+
+            def fwd(_, images):
+                # our export signature: uint8 NHWC in, decoded (bs,N,no) out
+                net.setInput(np.asarray(images, np.uint8))
+                return jnp.asarray(net.forward())
+
+            self._forward = fwd
+        else:
+            from yolov5_tpu.onnx.runtime import Runtime
+
+            rt = Runtime(buf)
+            self.backend = "onnx"
+            self._forward = lambda _, images: jnp.asarray(
+                rt(np.asarray(images))[0])
 
     def _init_remote_backend(self, w, imgsz, dtype):
         """KServe/Triton v2 HTTP remote model as the forward (the reference
@@ -350,14 +367,14 @@ def run(weights="", source="", cfg="yolov5s", imgsz=640, conf_thres=0.25,
         name="exp", exist_ok=False, line_thickness=None, batch_size=1,
         half=False, verbose=True, augment=False, data=None, hide_labels=False,
         hide_conf=False, save_crop=False, save_csv=False, vid_stride=1,
-        view_img=False):
+        view_img=False, dnn=False):
     """Detect over a source; save annotated images / label txts. Returns
     the list of (path, detections (n,6) native-space) results."""
     import cv2
 
     save_dir = increment_path(Path(project) / name, exist_ok=exist_ok, mkdir=True)
     (save_dir / "labels").mkdir(exist_ok=True)
-    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half)
+    det = Detector(weights, cfg=cfg, imgsz=imgsz, half=half, dnn=dnn)
     if data:  # class names from a dataset yaml (reference --data role)
         import yaml as _yaml
 

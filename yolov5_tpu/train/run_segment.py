@@ -175,23 +175,104 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         max_labels=128, single_cls=False, mask_ratio=4, no_overlap=False,
         project="runs/train-seg", name="exp", exist_ok=False, nosave=False,
         noval=False, save_dir=None, dtype="bfloat16", device_aug=False,
-        cache=None, segments_v=32):
-    """Train an instance-segmentation model. Returns (best_fitness, results, dir)."""
+        cache=None, segments_v=32, weights="", resume="", patience=100,
+        freeze=None, label_smoothing=0.0, save_period=-1, noautoanchor=False,
+        noplots=False, sync_bn=False, _resume_ckpt=None):
+    """Train an instance-segmentation model. Returns (best_fitness, results, dir).
+
+    Full training-feature surface of the reference segment/train.py (which
+    forks train.py wholesale): resume/patience/freeze/save_period/
+    label_smoothing/autoanchor/plots behave exactly like train/run.py."""
+    from yolov5_tpu.train.run import EarlyStopper, find_resume_ckpt
+    from yolov5_tpu.utils.checkpoint import (
+        anchors_from_yaml,
+        anchors_to_yaml,
+        load_checkpoint,
+        restore_train_state,
+        variables_from_checkpoint,
+    )
+
+    if resume and _resume_ckpt is None:
+        import yaml
+
+        ckpt_path = find_resume_ckpt(resume, project)
+        run_dir = ckpt_path.parent
+        opt_file, hyp_file = run_dir / "opt.yaml", run_dir / "hyp.yaml"
+        if opt_file.exists():
+            saved = yaml.safe_load(opt_file.read_text()) or {}
+            saved.pop("resume", None)
+            if hyp_file.exists():
+                saved["hyp"] = str(hyp_file)
+            print(f"resuming {run_dir} from saved config")
+            return run(**saved, _resume_ckpt=str(ckpt_path),
+                       save_dir=str(run_dir))
+        _resume_ckpt = str(ckpt_path)
+        save_dir = save_dir or str(ckpt_path.parent)
     init_seeds(seed)
     data_dict = check_dataset(data)
     nc = 1 if single_cls else int(data_dict["nc"])
+    opt_dict = {
+        k: (str(v) if isinstance(v, Path) else v) for k, v in dict(
+            data=data, cfg=cfg, hyp=hyp, epochs=epochs, batch_size=batch_size,
+            imgsz=imgsz, optimizer=optimizer, cos_lr=cos_lr, seed=seed,
+            workers=workers, max_labels=max_labels, single_cls=single_cls,
+            mask_ratio=mask_ratio, no_overlap=no_overlap, project=project,
+            name=name, nosave=nosave, noval=noval, dtype=dtype,
+            device_aug=device_aug, cache=cache, segments_v=segments_v,
+            weights=weights, patience=patience, freeze=freeze,
+            label_smoothing=label_smoothing, save_period=save_period,
+            noautoanchor=noautoanchor, noplots=noplots,
+        ).items()
+    }
     hyp = load_hyp(hyp)
+    if label_smoothing:
+        hyp["label_smoothing"] = float(label_smoothing)
+    if sync_bn:
+        print("--sync-bn: cross-device BN stats are always on under GSPMD")
     overlap = not no_overlap
 
     save_dir = Path(save_dir) if save_dir else increment_path(
         Path(project) / name, exist_ok=exist_ok)
     save_dir.mkdir(parents=True, exist_ok=True)
+    import yaml as _yaml
+
+    (save_dir / "hyp.yaml").write_text(_yaml.safe_dump(hyp, sort_keys=False))
+    (save_dir / "opt.yaml").write_text(_yaml.safe_dump(opt_dict, sort_keys=False))
     loggers = Loggers(save_dir)
 
     model = SegmentationModel(cfg, nc=nc,
                               dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    if data_dict.get("names"):
+        model.names = {int(k): v for k, v in data_dict["names"].items()}
     imgsz = check_img_size(imgsz, s=max(model.stride))
     nm = dict(model.head_spec.kwargs).get("nm", 32)
+    start_epoch = 0
+    best_fitness = 0.0
+    resume_payload = None
+    if _resume_ckpt:
+        resume_payload, meta = load_checkpoint(_resume_ckpt)
+        model.variables = {"params": resume_payload["params"],
+                           "batch_stats": resume_payload["batch_stats"]}
+        if meta.get("anchors"):
+            model.anchors = anchors_from_yaml(meta["anchors"])
+            model.cfg["anchors"] = meta["anchors"]
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", 0.0))
+        if epochs <= start_epoch:
+            print(f"{_resume_ckpt} has trained {start_epoch} epochs; "
+                  f"fine-tuning for {epochs} more")
+            epochs += start_epoch
+    elif weights:
+        if str(weights).endswith(".pt"):
+            from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
+
+            sd = load_torch_state_dict(weights)
+            model.variables, missed = import_torch_weights(model, sd)
+            if missed:
+                print(f"weight import: {len(missed)} unmatched entries")
+        else:
+            payload, _ = load_checkpoint(weights)
+            model.variables = variables_from_checkpoint(payload, prefer_ema=True)
 
     rank, world = jax.process_index(), jax.process_count()
     train_ds, train_loader = create_loader(
@@ -202,6 +283,15 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         # 'device' is handled below; ram/disk are host-side loader caches
         cache=cache if cache in ("ram", "disk") else None,
     )
+    if not noautoanchor and not _resume_ckpt and not weights:
+        from yolov5_tpu.utils.autoanchor import check_anchors
+
+        new_anchors = check_anchors(train_ds, model, thr=hyp.get("anchor_t", 4.0),
+                                    imgsz=imgsz)
+        if new_anchors != model.anchors:
+            model.anchors = new_anchors
+            model.cfg["anchors"] = anchors_to_yaml(new_anchors)
+            print("autoanchor: anchors updated")
     val_loader = None
     if data_dict.get("val") and not noval:
         _, val_loader = create_loader(
@@ -217,8 +307,13 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                                  nm=nm, overlap=overlap)
     tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
                          steps_per_epoch=nb, batch_size=batch_size,
-                         name=optimizer, cos_lr=cos_lr)
+                         name=optimizer, cos_lr=cos_lr, freeze=freeze)
     state = init_train_state(model, tx)
+    if resume_payload is not None:
+        state = restore_train_state(state, resume_payload)
+        resume_payload = None
+    stopper = EarlyStopper(patience)
+    stopper.best_fitness, stopper.best_epoch = best_fitness, start_epoch
     mesh = make_mesh()
 
     # device-resident fast path (mirrors train/run.py): dataset + polygon
@@ -271,7 +366,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
             overlap=overlap)
 
-    best_fitness, results = 0.0, {}
+    results = {}
     print(f"seg training {cfg}: {nb} steps/epoch, imgsz {imgsz}")
     with mesh:
         state = replicate(state, mesh)
@@ -279,7 +374,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         if use_device_cache:
             cache_dev = replicate(cache_host, mesh)
             cache_host = None
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             train_loader.set_epoch(epoch)
             agg = None
             t0 = time.time()
@@ -328,12 +423,25 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                 # one tunnel download serves both files (strict > like the
                 # fixed detect loop: ties must not rewrite best.ckpt)
                 host_state = jax.device_get(state)
+                # last.ckpt keeps the optimizer so --resume restores momentum
                 save_checkpoint(save_dir / "last.ckpt", host_state, model,
-                                epoch, best_fitness)
+                                epoch, best_fitness, include_opt=True)
                 if improved and val_loader is not None:
                     save_checkpoint(save_dir / "best.ckpt", host_state, model,
                                     epoch, best_fitness)
+                if save_period > 0 and epoch % save_period == 0:
+                    save_checkpoint(save_dir / f"epoch{epoch}.ckpt",
+                                    host_state, model, epoch, best_fitness)
+            if stopper(epoch, fi):
+                print(f"early stopping at epoch {epoch + 1} "
+                      f"(no fitness gain in {patience} epochs)")
+                break
     train_loader.close()
+    if not noplots:
+        from yolov5_tpu.utils.plots import plot_labels, plot_results
+
+        plot_results(save_dir / "results.csv")
+        plot_labels(train_ds.labels, model.names, save_dir)
     if (save_dir / "best.ckpt").exists():
         loggers.log_model(save_dir / "best.ckpt")
     loggers.close()
