@@ -10,7 +10,9 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train")
-    t.add_argument("--data", required=True)
+    t.add_argument("--data", default="",
+                   help="dataset yaml (optional with --resume: the saved "
+                        "opt.yaml supplies it)")
     t.add_argument("--cfg", default="yolov5n-seg")
     t.add_argument("--hyp", default=None)
     t.add_argument("--epochs", type=int, default=100)
@@ -22,6 +24,9 @@ def main():
     t.add_argument("--workers", type=int, default=8)
     t.add_argument("--single-cls", action="store_true")
     t.add_argument("--mask-ratio", type=int, default=4)
+    t.add_argument("--seg-k", type=int, default=256,
+                   help="per-level mask-loss candidate capacity; overflow is "
+                        "counted and warned, raise if crowded images overflow")
     t.add_argument("--no-overlap", action="store_true")
     t.add_argument("--project", default="runs/train-seg")
     t.add_argument("--name", default="exp")
@@ -33,7 +38,8 @@ def main():
     t.add_argument("--cache", default=None, choices=["ram", "disk", "device"])
     t.add_argument("--weights", default="", help="pretrained init: .ckpt or reference .pt")
     t.add_argument("--resume", nargs="?", const=True, default="",
-                   help="resume most recent (or given) seg run")
+                   help="resume most recent (or given) seg run; the run's "
+                        "saved opt.yaml overrides other train flags")
     t.add_argument("--patience", type=int, default=100)
     t.add_argument("--freeze", type=int, default=0, help="freeze first N layers")
     t.add_argument("--label-smoothing", type=float, default=0.0)
@@ -63,6 +69,8 @@ def main():
 
     opt = p.parse_args()
     if opt.cmd == "train":
+        if not opt.data and not opt.resume:
+            p.error("--data is required unless --resume is given")
         if opt.device == "cpu":
             import jax
 
@@ -76,6 +84,7 @@ def main():
             batch_size=opt.batch_size, imgsz=opt.imgsz, optimizer=opt.optimizer,
             cos_lr=opt.cos_lr, seed=opt.seed, workers=opt.workers,
             single_cls=opt.single_cls, mask_ratio=opt.mask_ratio,
+            seg_k=opt.seg_k,
             no_overlap=opt.no_overlap, project=opt.project, name=opt.name,
             exist_ok=opt.exist_ok, noval=opt.noval, nosave=opt.nosave,
             device_aug=opt.device_aug, cache=opt.cache, weights=opt.weights,

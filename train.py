@@ -12,7 +12,9 @@ def parse_opt():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", default="", help="initial weights (.ckpt or torch .pt)")
     p.add_argument("--cfg", default="yolov5n", help="model config name/path")
-    p.add_argument("--data", required=True, help="dataset yaml")
+    p.add_argument("--data", default="",
+                   help="dataset yaml (optional with --resume: the saved "
+                        "opt.yaml supplies it)")
     p.add_argument("--hyp", default=None, help="hyp preset name or yaml")
     p.add_argument("--label-smoothing", type=float, default=0.0, help="cls BCE eps")
     p.add_argument("--noplots", action="store_true", help="skip end-of-train plots")
@@ -34,7 +36,9 @@ def parse_opt():
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--noval", action="store_true")
     p.add_argument("--save-period", type=int, default=-1)
-    p.add_argument("--resume", default="", help="checkpoint to resume from")
+    p.add_argument("--resume", nargs="?", const=True, default="",
+                   help="resume most recent (or given) run; the run's saved "
+                        "opt.yaml overrides other train flags")
     p.add_argument("--max-labels", type=int, default=None,
                    help="fixed label capacity per image (default: auto from dataset)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
@@ -61,6 +65,9 @@ def parse_opt():
 
 def main():
     opt = parse_opt()
+    if not opt.data and not opt.resume:
+        import sys
+        sys.exit("error: --data is required unless --resume is given")
     if opt.device == "cpu":
         import jax
 

@@ -2,9 +2,10 @@
 
 Equivalent of /root/reference/val.py:112-393. The device side is one jitted
 function per image-size; matching/AP stay in numpy for exactness (SURVEY §7).
-Predictions and labels are compared in letterbox space — equivalent to the
-reference's native-space matching up to boundary clipping because the
-letterbox transform is a similarity.
+Predictions and labels are compared in ORIGINAL image coordinates by default
+(the reference's native-space protocol, val.py:282-310); letterbox-space
+matching remains available via native_space=False and agrees to within
+0.0004 mAP (the letterbox transform is a similarity).
 """
 
 from __future__ import annotations
@@ -45,17 +46,18 @@ def _scale_to_native(boxes, lb_hw, native_hw):
 def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
              max_det=300, max_nms=30720, multi_label=True, verbose=False,
              compute_loss=None, save_json=None, coco91=False,
-             native_space=False, tta_forward=None, save_txt_dir=None,
+             native_space=True, tta_forward=None, save_txt_dir=None,
              save_conf=False, save_hybrid=False, names=None):
     """Returns a dict: mp, mr, map50, map, fitness, per-class ap, speeds.
 
     save_json: path to write COCO-format detections (xywh top-left, native
     image space; image_id from the filename stem like the reference
     save_one_json, val.py:65-108). coco91 remaps class ids to annotation ids.
-    native_space: match predictions against labels in ORIGINAL image
-    coordinates (the reference's scale_boxes path, val.py:282-310) instead of
-    letterbox space. The letterbox transform is a similarity so the two agree
-    up to boundary clipping; this mode exists to quantify that delta.
+    native_space (default True, matching the reference): match predictions
+    against labels in ORIGINAL image coordinates (the reference's scale_boxes
+    path, val.py:282-310). Pass False to match in letterbox space — the
+    letterbox transform is a similarity so the two agree up to boundary
+    clipping (measured delta 0.0004 mAP); the option exists to quantify that.
     """
     json_rows = []
     shapes = loader.ds.shapes if (save_json or native_space or save_txt_dir) \
@@ -275,7 +277,21 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
     # exported backends (.onnx/.tflite/_saved_model) carry no model object —
     # they run through det._forward with a fixed input size (reference
     # DetectMultiBackend val, val.py:152-170)
-    stride = max(det.model.stride) if det.model is not None else 32
+    if det.model is not None:
+        stride = max(det.model.stride)
+    else:
+        stride = 32
+        # a fixed-shape exported graph only accepts its export-time size;
+        # override a mismatched --imgsz like the reference DetectMultiBackend
+        # does (models/common.py metadata imgsz)
+        export_sz = getattr(det, "imgsz", None)
+        if export_sz:
+            export_sz = export_sz[0] if isinstance(export_sz, (tuple, list)) \
+                else export_sz
+            if export_sz and imgsz != export_sz:
+                print(f"WARNING: --imgsz {imgsz} does not match the export "
+                      f"size {export_sz} of {weights}; using {export_sz}")
+                imgsz = int(export_sz)
     imgsz = check_img_size(imgsz, s=stride)
     split = data_dict.get(task) or data_dict.get("val") or data_dict["train"]
     _, loader = create_loader(split, img_size=imgsz, batch_size=batch_size,
@@ -294,6 +310,9 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
         save_txt_dir = save_dir / "labels"
     fwd = det._forward_tta if augment else None
     if det.model is None:
+        if augment:
+            print("WARNING: --augment (TTA) is unsupported for exported "
+                  "backends, ignoring")
         fwd = det._forward  # exported backend: the graph already decodes
     results = evaluate(det.model, det.variables, loader, conf_thres=conf_thres,
                        iou_thres=iou_thres, max_det=max_det, verbose=verbose,

@@ -317,20 +317,37 @@ def _eager_init(module, seed, ch, dtype, sizes=(64, 128, 256)):
 
     rng = np.random.default_rng(np.uint32(seed) + 0x5F3759DF)
 
+    # torch-matching init (reference models default to torch.nn.Conv2d /
+    # Linear resets): kernels kaiming-uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)),
+    # biases U(+-1/sqrt(fan_in)) with the SIBLING kernel's fan_in; BN scale=1,
+    # bias=0, mean=0, var=1. First pass records each module's kernel fan_in so
+    # the bias pass can find it.
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    fan_by_prefix = {}
+    for path, sds in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "kernel":
+            shape = sds.shape
+            fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
+            fan_by_prefix[tuple(str(p) for p in path[:-1])] = max(fan_in, 1)
+
     def draw(path, sds):
         # host numpy leaves: creating device arrays here would round-trip a
         # tunneled TPU once per leaf; jit transfers them in one batch later
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         shape, dt = sds.shape, sds.dtype
         if name == "kernel":
-            # lecun_normal: truncated normal, std = sqrt(1/fan_in)
             fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else int(shape[0])
-            std = float(np.sqrt(1.0 / max(fan_in, 1))) / 0.87962566103423978
-            v = np.clip(rng.standard_normal(shape), -2.0, 2.0) * std
-            return v.astype(dt)
+            bound = float(np.sqrt(1.0 / max(fan_in, 1)))
+            return rng.uniform(-bound, bound, shape).astype(dt)
+        if name == "bias":
+            fan_in = fan_by_prefix.get(tuple(str(p) for p in path[:-1]))
+            if fan_in:  # conv/dense bias; BN bias stays zero
+                bound = float(np.sqrt(1.0 / fan_in))
+                return rng.uniform(-bound, bound, shape).astype(dt)
         if name in ("scale", "var"):
             return np.ones(shape, dt)
-        return np.zeros(shape, dt)  # bias, mean, everything else
+        return np.zeros(shape, dt)  # BN bias, mean, everything else
 
     return jax.tree_util.tree_map_with_path(draw, shapes)
 

@@ -39,6 +39,24 @@ from yolov5_tpu.utils.hyp import load_hyp
 from yolov5_tpu.utils.loggers import Loggers
 
 
+def multiscale_sizes(imgsz, gs, n=None):
+    """Stride-aligned bucket set covering the reference's full multi-scale
+    range 0.5-1.5x (train.py:393-398: `randrange(imgsz*0.5, imgsz*1.5+gs)
+    // gs * gs`). The reference draws any stride multiple in the range each
+    batch; under XLA every distinct size is a compiled program, so the range
+    is covered by `n` evenly spaced stride multiples (default 5, override
+    with YOLOV5_TPU_MS_BUCKETS; set it to the full multiple count to
+    reproduce the reference's unbinned distribution) sampled PER BATCH."""
+    import os
+
+    if n is None:
+        n = int(os.environ.get("YOLOV5_TPU_MS_BUCKETS", 5))
+    lo = max(1, int(round(imgsz * 0.5 / gs)))
+    hi = int(round(imgsz * 1.5 / gs))
+    ks = np.unique(np.linspace(lo, hi, min(n, hi - lo + 1)).round().astype(int))
+    return [int(k * gs) for k in ks]
+
+
 def find_resume_ckpt(resume, project="runs/train"):
     """Resolve --resume into a checkpoint path: True/'auto' -> most recent
     last.ckpt under `project`; a run dir -> its last.ckpt; else the path
@@ -187,12 +205,15 @@ def run(
             model.cfg["anchors"] = meta["anchors"]
         start_epoch = int(meta.get("epoch", -1)) + 1
         best_fitness = float(meta.get("best_fitness", 0.0))
-        if epochs <= start_epoch:
-            # already past the horizon: fine-tune for `epochs` more
-            # (reference smart_resume, torch_utils.py:305-309)
-            print(f"{_resume_ckpt} has trained {start_epoch} epochs; "
-                  f"fine-tuning for {epochs} more")
-            epochs += start_epoch
+        # reference smart_resume semantics (torch_utils.py:296-309): a
+        # stripped/finished checkpoint (epoch == -1) cannot be resumed;
+        # a horizon already passed means fine-tune for `epochs` more
+        assert start_epoch > 0, (
+            f"{_resume_ckpt} training is finished, nothing to resume")
+        if epochs < start_epoch:
+            print(f"{_resume_ckpt} has been trained for {start_epoch - 1} "
+                  f"epochs; fine-tuning for {epochs} more epochs")
+            epochs += start_epoch - 1
     elif weights:
         if str(weights).endswith(".pt"):  # torch reference checkpoint
             from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
@@ -253,6 +274,11 @@ def run(
     if quad and device_aug:
         raise ValueError("--quad composes batches on the host; it is "
                          "redundant with --device-aug mosaic — drop one flag")
+    ms_sizes, ms_rng = [], None
+    if multi_scale:
+        ms_sizes = multiscale_sizes(imgsz, max(model.stride))
+        ms_rng = np.random.default_rng(seed + 0x5CA1E)
+        print(f"multi-scale: per-batch sizes {ms_sizes}")
     nl = len(model.stride)
     hyp_scaled = scale_hyp(hyp, nl=nl, nc=nc, imgsz=imgsz)
     loss_fn = ComputeLoss(model.anchors_per_stride, nc, hyp_scaled,
@@ -329,23 +355,19 @@ def run(
                 train_loader.set_image_weights(iw, epoch)
             agg = None
             t0 = time.time()
-            s_ep = imgsz
-            if multi_scale:
-                # bucketed multi-scale: one size per epoch from 0.75/1.0/1.25x
-                # (few buckets keep the compile count bounded; the reference
-                # resamples per batch, train.py:393-398)
-                gs = max(model.stride)
-                scales = [0.75, 1.0, 1.25]
-                s_ep = int(round(imgsz * scales[epoch % len(scales)] / gs) * gs)
             batch_keys = (("images", "hw", "targets", "valid")
                           if device_mosaic else ("images", "targets", "valid"))
 
-            def host_prep(batch, s_ep=s_ep):
+            def host_prep(batch):
                 batch = {k: batch[k] for k in batch_keys}
-                if s_ep != imgsz:
+                # per-batch multi-scale over the full reference 0.5-1.5x
+                # range (train.py:393-398), restricted to a bounded set of
+                # stride-aligned buckets so each size compiles exactly once
+                s_b = int(ms_rng.choice(ms_sizes)) if multi_scale else imgsz
+                if s_b != imgsz:
                     import cv2
 
-                    t = s_ep * (2 if quad else 1)  # quad batches are 2s x 2s
+                    t = s_b * (2 if quad else 1)  # quad batches are 2s x 2s
                     batch["images"] = np.stack(
                         [cv2.resize(im, (t, t), interpolation=cv2.INTER_LINEAR)
                          for im in batch["images"]])

@@ -173,6 +173,7 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         imgsz=640, optimizer="sgd", cos_lr=False, seed=0, workers=8,
         max_labels=128, single_cls=False, mask_ratio=4, no_overlap=False,
+        seg_k=256,
         project="runs/train-seg", name="exp", exist_ok=False, nosave=False,
         noval=False, save_dir=None, dtype="bfloat16", device_aug=False,
         cache=None, segments_v=32, weights="", resume="", patience=100,
@@ -258,10 +259,13 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             model.cfg["anchors"] = meta["anchors"]
         start_epoch = int(meta.get("epoch", -1)) + 1
         best_fitness = float(meta.get("best_fitness", 0.0))
-        if epochs <= start_epoch:
-            print(f"{_resume_ckpt} has trained {start_epoch} epochs; "
-                  f"fine-tuning for {epochs} more")
-            epochs += start_epoch
+        # reference smart_resume semantics (torch_utils.py:296-309)
+        assert start_epoch > 0, (
+            f"{_resume_ckpt} training is finished, nothing to resume")
+        if epochs < start_epoch:
+            print(f"{_resume_ckpt} has been trained for {start_epoch - 1} "
+                  f"epochs; fine-tuning for {epochs} more epochs")
+            epochs += start_epoch - 1
     elif weights:
         if str(weights).endswith(".pt"):
             from yolov5_tpu.models.weights import import_torch_weights, load_torch_state_dict
@@ -304,7 +308,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
     nb = len(train_loader)
     hyp_scaled = scale_hyp(hyp, nl=len(model.stride), nc=nc, imgsz=imgsz)
     loss_fn = ComputeSegmentLoss(model.anchors_per_stride, nc, hyp_scaled,
-                                 nm=nm, overlap=overlap)
+                                 nm=nm, overlap=overlap, seg_k=seg_k)
     tx = build_optimizer(model.params, hyp_scaled, epochs=epochs,
                          steps_per_epoch=nb, batch_size=batch_size,
                          name=optimizer, cos_lr=cos_lr, freeze=freeze)
@@ -403,6 +407,12 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                     agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)
             n = max(len(train_loader), 1)
             row = {f"train/{k}": float(v) / n for k, v in jax.device_get(agg).items()}
+            ovf = row.pop("train/seg_overflow", 0.0) * n
+            if ovf > 0:
+                # no silent caps: candidates beyond seg_k lost mask supervision
+                print(f"WARNING: {ovf:.0f} mask-loss candidates exceeded "
+                      f"--seg-k {seg_k} this epoch and were dropped; raise "
+                      f"seg_k to restore full mask supervision")
             row["train/imgs_per_sec"] = n * batch_size / (time.time() - t0)
             fi = 0.0
             if val_loader is not None:

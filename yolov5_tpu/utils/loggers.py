@@ -20,6 +20,16 @@ class CSVLogger:
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._keys = None
+        # resume: adopt the existing header instead of appending a second
+        # one mid-file (which would break plot_results on resumed runs)
+        if self.path.exists():
+            try:
+                with open(self.path, newline="") as f:
+                    first = f.readline().strip()
+                if first:
+                    self._keys = [k.strip() for k in first.split(",")]
+            except OSError:
+                pass
 
     def log(self, row: dict):
         write_header = self._keys is None
