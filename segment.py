@@ -57,6 +57,11 @@ def main():
     v.add_argument("--batch-size", type=int, default=16)
     v.add_argument("--mask-ratio", type=int, default=4)
     v.add_argument("--no-overlap", action="store_true")
+    v.add_argument("--save-json", default=None,
+                   help="write COCO segm rows (bbox + RLE masks) and score "
+                        "them bbox+segm against the dataset GT")
+    v.add_argument("--coco91", action="store_true",
+                   help="remap class ids to the 91-id COCO annotation space")
 
     d = sub.add_parser("predict")
     d.add_argument("--weights", required=True)
@@ -108,8 +113,21 @@ def main():
                                   batch_size=opt.batch_size, augment=False,
                                   masks=True, mask_ratio=opt.mask_ratio,
                                   overlap=not opt.no_overlap)
-        evaluate_segment(model, variables, loader, overlap=not opt.no_overlap,
-                         verbose=True)
+        out = evaluate_segment(model, variables, loader,
+                               overlap=not opt.no_overlap, verbose=True,
+                               save_json=opt.save_json, coco91=opt.coco91)
+        if opt.save_json:
+            # score the written JSON with the COCO protocol, both modes
+            # (reference segment/val.py:366-382 COCOeval bbox + segm)
+            from yolov5_tpu.eval.coco import (
+                gt_from_dataset, gt_from_dataset_segm, score_detections_json)
+
+            gt_box = gt_from_dataset(loader.ds, coco91=opt.coco91)
+            gt_seg = gt_from_dataset_segm(loader.ds, coco91=opt.coco91)
+            sb = score_detections_json(opt.save_json, gt_box, iou_type="bbox")
+            ss = score_detections_json(opt.save_json, gt_seg, iou_type="segm")
+            print(f"COCO bbox: mAP {sb['map']:.4f} mAP50 {sb['map50']:.4f} | "
+                  f"COCO segm: mAP {ss['map']:.4f} mAP50 {ss['map50']:.4f}")
     else:
         from yolov5_tpu.infer_segment import run as predict
 

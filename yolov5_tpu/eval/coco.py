@@ -51,10 +51,17 @@ def _iou_xywh(dt, gt, iscrowd):
 
 
 class COCOEvalLite:
-    """bbox-mode COCOeval. evaluate() -> accumulate() -> summarize()."""
+    """COCOeval equivalent. evaluate() -> accumulate() -> summarize().
+
+    iou_type: 'bbox' (default) or 'segm'. In segm mode every dt/gt entry
+    carries a "segmentation" RLE ({"size": [h, w], "counts": str|list},
+    eval/rle.py) and IoU/area use the mask, matching pycocotools
+    COCOeval(iouType='segm') as driven by the reference segment/val.py:366-382.
+    """
 
     def __init__(self, gt, dt, iou_thrs=IOU_THRS, rec_thrs=REC_THRS,
-                 max_dets=MAX_DETS, area_rng=None):
+                 max_dets=MAX_DETS, area_rng=None, iou_type="bbox"):
+        self.iou_type = iou_type
         self.iou_thrs = np.asarray(iou_thrs)
         self.rec_thrs = np.asarray(rec_thrs)
         self.max_dets = tuple(max_dets)
@@ -81,22 +88,38 @@ class COCOEvalLite:
         T = len(self.iou_thrs)
         max_det = self.max_dets[-1]
 
-        g_boxes = np.array([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+        segm = self.iou_type == "segm"
         g_crowd = np.array([bool(g.get("iscrowd")) for g in gts], bool)
-        g_area = g_boxes[:, 2] * g_boxes[:, 3]
+        if segm:
+            from yolov5_tpu.eval.rle import rle_area, rle_iou
+
+            g_area = np.array([float(g.get("area", rle_area(g["segmentation"])))
+                               for g in gts], np.float64)
+        else:
+            g_boxes = np.array(
+                [g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+            g_area = g_boxes[:, 2] * g_boxes[:, 3]
         g_ign = g_crowd | (g_area < arng[0]) | (g_area > arng[1])
         # ignored gts sort last so real matches are preferred
         g_order = np.argsort(g_ign, kind="mergesort")
-        g_boxes, g_crowd, g_ign = g_boxes[g_order], g_crowd[g_order], g_ign[g_order]
+        g_crowd, g_ign = g_crowd[g_order], g_ign[g_order]
 
         d_scores = np.array([d["score"] for d in dts], np.float64)
         d_order = np.argsort(-d_scores, kind="mergesort")[:max_det]
-        d_boxes = np.array([d["bbox"] for d in dts], np.float64).reshape(-1, 4)[d_order]
         d_scores = d_scores[d_order]
-        d_area = d_boxes[:, 2] * d_boxes[:, 3]
-
-        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
-        G, D = len(g_boxes), len(d_boxes)
+        if segm:
+            g_rles = [gts[i]["segmentation"] for i in g_order]
+            d_rles = [dts[i]["segmentation"] for i in d_order]
+            d_area = np.array([rle_area(r) for r in d_rles], np.float64)
+            ious = rle_iou(d_rles, g_rles, g_crowd)
+            G, D = len(g_rles), len(d_rles)
+        else:
+            g_boxes = g_boxes[g_order]
+            d_boxes = np.array(
+                [d["bbox"] for d in dts], np.float64).reshape(-1, 4)[d_order]
+            d_area = d_boxes[:, 2] * d_boxes[:, 3]
+            ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
+            G, D = len(g_boxes), len(d_boxes)
         gtm = np.zeros((T, G), np.int64) - 1
         dtm = np.zeros((T, D), np.int64) - 1
         dt_ig = np.zeros((T, D), bool)
@@ -236,7 +259,42 @@ def gt_from_dataset(ds, coco91=False):
     return gts
 
 
-def score_detections_json(json_path_or_rows, gt):
+def gt_from_dataset_segm(ds, coco91=False):
+    """COCO segm-mode ground truth from a segmentation dataset: each label's
+    polygon (ds.segments, normalized xy) is rasterized at the NATIVE image
+    size and RLE-encoded (the annotation format COCOeval segm consumes,
+    reference segment/val.py:366-382)."""
+    from pathlib import Path
+
+    from yolov5_tpu.eval.evaluator import COCO80_TO_COCO91
+    from yolov5_tpu.eval.rle import polygons_to_rle, rle_area
+
+    gts = []
+    shapes = ds.shapes
+    for i, (path, labels) in enumerate(zip(ds.im_files, ds.labels)):
+        stem = Path(path).stem
+        image_id = int(stem) if stem.isnumeric() else stem
+        h, w = int(shapes[i][0]), int(shapes[i][1])
+        segs = ds.segments[i] if ds.segments is not None else [None] * len(labels)
+        for row, seg in zip(labels, segs):
+            cid = int(row[0])
+            if coco91 and cid < len(COCO80_TO_COCO91):
+                cid = COCO80_TO_COCO91[cid]
+            if seg is None or len(seg) < 3:
+                continue
+            rle = polygons_to_rle([np.asarray(seg) * [w, h]], h, w)
+            bw, bh = row[3] * w, row[4] * h
+            gts.append({
+                "image_id": image_id,
+                "category_id": cid,
+                "bbox": [row[1] * w - bw / 2, row[2] * h - bh / 2, bw, bh],
+                "segmentation": rle,
+                "area": rle_area(rle),
+            })
+    return gts
+
+
+def score_detections_json(json_path_or_rows, gt, iou_type="bbox"):
     """Score a detections JSON (the evaluator's save_json output) against GT;
     returns the 12 summary numbers (reference val.py:368-383 contract)."""
     import json
@@ -245,5 +303,5 @@ def score_detections_json(json_path_or_rows, gt):
     rows = json_path_or_rows
     if not isinstance(rows, list):
         rows = json.loads(Path(rows).read_text())
-    ev = COCOEvalLite(gt, rows)
+    ev = COCOEvalLite(gt, rows, iou_type=iou_type)
     return ev.evaluate().accumulate().summarize()

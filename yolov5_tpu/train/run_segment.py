@@ -30,11 +30,77 @@ from yolov5_tpu.utils.hyp import load_hyp
 from yolov5_tpu.utils.loggers import Loggers
 
 
+def _segm_json_rows(pred, proto_b, im_file, native_hw, lb_hw, coco91):
+    """COCO segm rows for one image (reference segment/val.py:72-101
+    save_one_json). pred (n, 6+nm) [xyxy conf cls coeffs] in letterbox px;
+    proto_b (hm, wm, nm) fp32. Masks: sigmoid(coeff@proto) at proto res,
+    crop to box, bilinear to letterbox, >0.5, un-letterbox to native, >0.5,
+    RLE-encode."""
+    import cv2
+
+    from yolov5_tpu.eval.evaluator import COCO80_TO_COCO91, _scale_to_native
+    from yolov5_tpu.eval.rle import mask_to_rle
+
+    nh, nw = native_hw
+    bh, bw = lb_hw
+    hm, wm, nm = proto_b.shape
+    n = pred.shape[0]
+    coeff = pred[:, 6:6 + nm].astype(np.float32)
+    logits = coeff @ proto_b.reshape(hm * wm, nm).T  # (n, hm*wm)
+    masks = 1.0 / (1.0 + np.exp(-logits))
+    masks = masks.reshape(n, hm, wm)
+    # crop at proto resolution (reference process_mask crop-before-upsample)
+    bx = pred[:, :4] * np.array([wm / bw, hm / bh, wm / bw, hm / bh],
+                                np.float32)
+    xg = np.arange(wm, dtype=np.float32)[None, None, :]
+    yg = np.arange(hm, dtype=np.float32)[None, :, None]
+    inside = ((xg >= bx[:, 0, None, None]) & (xg < bx[:, 2, None, None])
+              & (yg >= bx[:, 1, None, None]) & (yg < bx[:, 3, None, None]))
+    masks *= inside
+
+    gain = min(bh / nh, bw / nw)
+    pad_x, pad_y = (bw - nw * gain) / 2, (bh - nh * gain) / 2
+    top, left = int(round(pad_y - 0.1)), int(round(pad_x - 0.1))
+    bottom, right = int(round(bh - pad_y + 0.1)), int(round(bw - pad_x + 0.1))
+
+    box_n = _scale_to_native(pred[:, :4].astype(np.float64), lb_hw, native_hw)
+    stem = Path(im_file).stem
+    image_id = int(stem) if stem.isnumeric() else stem
+    rows = []
+    for i in range(n):
+        ml = cv2.resize(masks[i], (bw, bh), interpolation=cv2.INTER_LINEAR)
+        mb = (ml > 0.5).astype(np.float32)[top:bottom, left:right]
+        mn = cv2.resize(mb, (nw, nh), interpolation=cv2.INTER_LINEAR) > 0.5
+        cid = int(pred[i, 5])
+        if coco91 and cid < len(COCO80_TO_COCO91):
+            cid = COCO80_TO_COCO91[cid]
+        x1, y1, x2, y2 = box_n[i]
+        rows.append({
+            "image_id": image_id,
+            "category_id": cid,
+            "bbox": [round(float(x1), 3), round(float(y1), 3),
+                     round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+            "score": round(float(pred[i, 4]), 5),
+            "segmentation": mask_to_rle(mn),
+        })
+    return rows
+
+
 def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
-                     max_det=300, overlap=True, verbose=False):
-    """Box + mask mAP (reference segment/val.py:160-320)."""
+                     max_det=300, overlap=True, verbose=False,
+                     save_json=None, coco91=False):
+    """Box + mask mAP (reference segment/val.py:160-320).
+
+    save_json: path for COCO-format rows {image_id, category_id, bbox,
+    score, segmentation: RLE} — the reference's segm save_one_json
+    (segment/val.py:72-101) with pycocotools-compatible RLE (eval/rle.py).
+    Masks are re-derived on the host from the fetched prototypes + NMS
+    coefficients at proto resolution, upsampled to letterbox space,
+    thresholded, un-letterboxed to native size (reference process_mask
+    upsample=True -> scale_image order)."""
     iouv = np.linspace(0.5, 0.95, 10)
     s = loader.ds.img_size
+    json_rows = [] if save_json is not None else None
 
     forward = getattr(model, "_seg_eval_forward", None)
     if forward is None:
@@ -146,6 +212,14 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                 correct_mask = np.zeros((n_pred, len(iouv)), bool)
             stats_mask.append((correct_mask, pred[:, 4], pred[:, 5], labels[:, 0]))
 
+            if json_rows is not None and n_pred:
+                idx = int(batch["indices"][b])
+                json_rows.extend(_segm_json_rows(
+                    pred, np.asarray(proto[b], np.float32),
+                    loader.ds.im_files[idx],
+                    tuple(int(x) for x in loader.ds.shapes[idx]),
+                    (s, s), coco91))
+
     def summarize(stats):
         if not stats:
             return {"p": 0.0, "r": 0.0, "map50": 0.0, "map": 0.0}
@@ -164,6 +238,13 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
     out = {"box": box, "mask": mask, "images": n_images,
            "fitness": 0.9 * (box["map"] + mask["map"]) / 2
                       + 0.1 * (box["map50"] + mask["map50"]) / 2}
+    if json_rows is not None:
+        import json
+
+        Path(save_json).parent.mkdir(parents=True, exist_ok=True)
+        Path(save_json).write_text(json.dumps(json_rows))
+        out["json"] = str(save_json)
+        print(f"saved {len(json_rows)} segm rows to {save_json}")
     if verbose:
         print(f"seg val: box mAP50 {box['map50']:.3f} mAP {box['map']:.3f} | "
               f"mask mAP50 {mask['map50']:.3f} mAP {mask['map']:.3f}")
