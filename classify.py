@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Classification CLI: train / predict subcommands
+"""Classification CLI: train / val / predict subcommands
 (the reference's classify/{train,val,predict}.py)."""
 
 import argparse
@@ -25,6 +25,14 @@ def main():
     t.add_argument("--no-device-aug", action="store_true",
                    help="disable the HBM dataset cache + one-dispatch epochs")
 
+    v = sub.add_parser("val")
+    v.add_argument("--data", required=True,
+                   help="ImageFolder root (val/ or test/ subdir, or itself)")
+    v.add_argument("--weights", required=True)
+    v.add_argument("--imgsz", "--img", type=int, default=None,
+                   help="default: the checkpoint's training size")
+    v.add_argument("--batch-size", type=int, default=64)
+
     d = sub.add_parser("predict")
     d.add_argument("--weights", required=True)
     d.add_argument("--source", required=True)
@@ -43,6 +51,11 @@ def main():
             optimizer=opt.optimizer, label_smoothing=opt.label_smoothing,
             seed=opt.seed, project=opt.project, name=opt.name,
             exist_ok=opt.exist_ok)
+    elif opt.cmd == "val":
+        from yolov5_tpu.train.run_classify import validate_classify
+
+        validate_classify(opt.weights, opt.data, imgsz=opt.imgsz,
+                          batch_size=opt.batch_size, verbose=True)
     else:
         import numpy as np
         import jax.numpy as jnp

@@ -17,6 +17,8 @@ def main():
     p.add_argument("--include", nargs="+", default=["ckpt", "stablehlo"])
     p.add_argument("--nms", action="store_true", help="embed NMS in the graph")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--data", default=None,
+                   help="dataset yaml for int8 calibration images")
     p.add_argument("--output-dir", default=None)
     p.add_argument("--device", default="")
     opt = p.parse_args()
@@ -28,7 +30,8 @@ def main():
 
     arts = run(weights=opt.weights, cfg=opt.cfg, imgsz=opt.imgsz,
                batch_size=opt.batch_size, include=tuple(opt.include),
-               with_nms=opt.nms, int8=opt.int8, output_dir=opt.output_dir)
+               with_nms=opt.nms, int8=opt.int8, output_dir=opt.output_dir,
+               data=opt.data)
     print({k: str(v) for k, v in arts.items()})
 
 

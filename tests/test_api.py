@@ -241,3 +241,73 @@ def test_param_activations():
     v = up.init(jax.random.PRNGKey(0), x)
     y = up.apply(v, x)
     assert y.shape[1] > x.shape[1]  # spatially upsampled
+
+
+def _tiny_ckpt(tmp_path):
+    """Save a loadable TINY-detection checkpoint, return its path."""
+    from yolov5_tpu.utils.checkpoint import save_checkpoint
+    from yolov5_tpu.train.trainer import TrainState
+    from yolov5_tpu.train.optim import EMAState
+    from yolov5_tpu.models import DetectionModel
+    import jax
+
+    m = DetectionModel(TINY)
+    state = TrainState(
+        jnp.zeros((), jnp.int32), m.variables["params"],
+        m.variables.get("batch_stats", {}), None,
+        EMAState(m.variables["params"], m.variables.get("batch_stats", {}),
+                 jnp.zeros((), jnp.int32)))
+    ckpt = tmp_path / "tiny.ckpt"
+    save_checkpoint(ckpt, jax.device_get(state), m)
+    return ckpt
+
+
+def test_pb_backend_detector(tmp_path):
+    """Frozen-GraphDef export round-trip: .pb output matches the native JAX
+    decode (reference export.py:793-816 + DetectMultiBackend pb branch,
+    models/common.py:545-561)."""
+    pytest.importorskip("tensorflow")
+
+    from yolov5_tpu.export import run as export_run
+    from yolov5_tpu.infer import Detector
+
+    ckpt = _tiny_ckpt(tmp_path)
+    arts = export_run(weights=str(ckpt), imgsz=64, include=("pb",),
+                      output_dir=tmp_path)
+    assert arts.get("pb") and arts["pb"].stat().st_size > 1000
+
+    im = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    det_jax = Detector(str(ckpt), imgsz=64)
+    det_pb = Detector(str(arts["pb"]), imgsz=64)
+    assert det_pb.backend == "pb" and det_pb.nc == 2
+    ref = np.asarray(det_jax._forward(det_jax.variables, jnp.asarray(im)), np.float32)
+    out = np.asarray(det_pb._forward(None, jnp.asarray(im)), np.float32)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+def test_tflite_int8_export(tmp_path):
+    """int8 TFLite exports with the normalized-box graph and its backend
+    rescales to pixel space: objectness ranking correlates with the float
+    model and boxes land within quantization error (reference
+    export.py:819-860)."""
+    pytest.importorskip("tensorflow")
+
+    from yolov5_tpu.export import run as export_run
+    from yolov5_tpu.infer import Detector
+
+    ckpt = _tiny_ckpt(tmp_path)
+    arts = export_run(weights=str(ckpt), imgsz=64, include=("tflite",),
+                      int8=True, output_dir=tmp_path)
+    assert arts.get("tflite") and "int8" in str(arts["tflite"])
+
+    im = np.random.default_rng(0).integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)
+    det_jax = Detector(str(ckpt), imgsz=64)
+    det_i8 = Detector(str(arts["tflite"]), imgsz=64)
+    ref = np.asarray(det_jax._forward(det_jax.variables, jnp.asarray(im)), np.float32)
+    out = np.asarray(det_i8._forward(None, jnp.asarray(im)), np.float32)
+    assert out.shape == ref.shape
+    # boxes come back in PIXEL space (meta normalized flag + backend rescale)
+    assert float(out[..., :4].max()) > 2.0, "boxes still normalized: rescale lost"
+    corr = float(np.corrcoef(out[..., 4].ravel(), ref[..., 4].ravel())[0, 1])
+    assert corr > 0.9

@@ -45,6 +45,7 @@ def export_formats():
         ("ckpt", ".ckpt", True, "native inference checkpoint (fused)"),
         ("stablehlo", ".stablehlo", True, "jax.export serialized StableHLO"),
         ("saved_model", "_saved_model", tf_ok, tf_note or "jax2tf"),
+        ("pb", ".pb", tf_ok, tf_note or "frozen GraphDef"),
         ("tflite", ".tflite", tf_ok, tf_note or "fp16/int8"),
         ("onnx", ".onnx", True, "native jaxpr->ONNX emitter (opset 13)"),
         ("engine", ".engine", False, "TensorRT is CUDA-only; n/a on TPU"),
@@ -75,9 +76,16 @@ def try_export(fn):
 
 
 def _build_forward(weights, cfg, imgsz, batch_size, with_nms=False,
-                   conf_thres=0.25, iou_thres=0.45, max_det=100):
+                   conf_thres=0.25, iou_thres=0.45, max_det=100,
+                   normalize_boxes=False):
     """(fn, variables, example input, model) for export: uint8 NHWC in,
-    decoded (bs, N, no) out (or NMS'd padded boxes)."""
+    decoded (bs, N, no) out (or NMS'd padded boxes).
+
+    normalize_boxes: divide xywh by imgsz so every output channel lies in
+    ~[0, 1] — required for int8 quantization, where per-tensor scales cannot
+    represent pixel coords and confidences in one tensor (the reference's
+    TFDetect normalizes for exactly this reason, models/tf.py xy/=imgsz);
+    the TFLite backend rescales on load."""
     from yolov5_tpu.infer import Detector
     from yolov5_tpu.ops.nms import non_max_suppression
 
@@ -87,7 +95,21 @@ def _build_forward(weights, cfg, imgsz, batch_size, with_nms=False,
     def forward(images):
         x = images.astype(jnp.float32) / 255.0
         maps = model.module.apply(variables, x, train=False)
-        pred = model.decode(maps)
+        if normalize_boxes:
+            # normalize PER LEVEL inside decode (anchors/stride pre-divided
+            # by imgsz) so no pixel-range tensor exists anywhere near the
+            # output: TFLite's scale propagation pins one per-tensor scale
+            # across concat/slice chains, and a post-concat divide leaves a
+            # pixel-space tensor pinned to a 0-1 scale (saturating boxes)
+            from yolov5_tpu.models.layers import decode as _decode
+
+            anchors_n = [np.asarray(a, np.float32) / imgsz
+                         for a in model.anchors]
+            strides_n = [float(s) / imgsz for s in model.stride]
+            pred = _decode(maps, anchors_n, strides_n, jnp.float32,
+                           nc=model.nc)
+        else:
+            pred = model.decode(maps)
         if not with_nms:
             return pred
         d = non_max_suppression(pred, conf_thres=conf_thres,
@@ -164,6 +186,43 @@ def export_saved_model(forward, example, file):
 
 
 @try_export
+def export_pb(forward, example, file):
+    """Frozen TensorFlow GraphDef (reference export.py:793-816 keras2pb):
+    the jax2tf function's concrete graph with variables folded to constants,
+    written as a binary .pb. Loadable via wrap_function/import_graph_def —
+    the Detector's .pb backend does exactly that."""
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+    from tensorflow.python.framework.convert_to_constants import (
+        convert_variables_to_constants_v2,
+    )
+
+    tf_fn = tf.function(
+        jax2tf.convert(forward, with_gradient=False,
+                       native_serialization_platforms=("cpu", "tpu")),
+        autograph=False,
+        input_signature=[tf.TensorSpec(example.shape, tf.uint8, name="images")],
+    )
+    frozen = convert_variables_to_constants_v2(tf_fn.get_concrete_function())
+    frozen.graph.as_graph_def()
+    file = Path(file)
+    tf.io.write_graph(graph_or_graph_def=frozen.graph,
+                      logdir=str(file.parent), name=file.name, as_text=False)
+    return file
+
+
+def gd_outputs(gd):
+    """Output node names of a GraphDef: nodes nobody consumes, minus NoOps
+    (the reference's ultralytics gd_outputs, models/common.py:599)."""
+    name_list, input_list = [], []
+    for node in gd.node:
+        name_list.append(node.name)
+        input_list.extend(node.input)
+    return sorted(f"{x}:0" for x in list(set(name_list) - set(input_list))
+                  if not x.startswith("NoOp"))
+
+
+@try_export
 def export_tflite(saved_model_dir, file, int8=False, rep_data=None):
     import tensorflow as tf
 
@@ -183,10 +242,51 @@ def export_tflite(saved_model_dir, file, int8=False, rep_data=None):
     return Path(file)
 
 
+def _representative_images(data, shape, n=100):
+    """Up to n letterboxed uint8 batches from the dataset's train split for
+    int8 calibration (reference export.py:819-860 representative dataset)."""
+    try:
+        from yolov5_tpu.data.letterbox import letterbox
+        from yolov5_tpu.utils.general import check_dataset
+
+        data_dict = check_dataset(data)
+        split = data_dict.get("train") or data_dict.get("val")
+        import glob as _glob
+
+        from pathlib import Path as _P
+
+        root = _P(split)
+        files = sorted(
+            f for f in (root.rglob("*") if root.is_dir()
+                        else map(_P, _glob.glob(str(root))))
+            if f.suffix.lower() in {".jpg", ".jpeg", ".png", ".bmp"})[:n]
+        if not files:
+            return None
+        import cv2
+
+        bs, s = shape[0], shape[1]
+        out = []
+        for f in files:
+            im = cv2.imread(str(f))
+            if im is None:
+                continue
+            lb = letterbox(im[..., ::-1], (s, s))[0]
+            out.append(np.broadcast_to(lb[None], shape).astype(np.uint8).copy())
+        return out or None
+    except Exception as e:
+        print(f"int8 calibration data unavailable ({e}); using random")
+        return None
+
+
 def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
         include=("ckpt", "stablehlo"), with_nms=False, int8=False,
-        output_dir=None, name=None):
-    """Export orchestrator (reference export.py run(), :1285-1488)."""
+        output_dir=None, name=None, data=None):
+    """Export orchestrator (reference export.py run(), :1285-1488).
+
+    data: dataset yaml — when given with int8, the TFLite calibration uses
+    up to 100 REAL letterboxed images from its train split (the reference's
+    representative_dataset_gen, export.py:819-860) instead of random noise.
+    """
     avail = {n: ok for n, _, ok, _ in export_formats()}
     for fmt in include:
         if fmt not in avail:
@@ -225,16 +325,34 @@ def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
         if sm_dir:
             (Path(sm_dir) / "yolov5_tpu_meta.json").write_text(
                 json.dumps(meta, indent=1, default=str))
-    if "tflite" in include and sm_dir:
-        rep = None
-        if int8:
-            rng = np.random.default_rng(0)
-            rep = [rng.integers(0, 255, example.shape, dtype=np.uint8).astype(np.uint8)
-                   for _ in range(8)]
-        artifacts["tflite"] = export_tflite(
-            sm_dir, out_dir / f"{stem}{'-int8' if int8 else ''}.tflite",
-            int8=int8, rep_data=rep)
-        if artifacts["tflite"]:
-            Path(str(artifacts["tflite"]) + ".json").write_text(
+    if "pb" in include:
+        artifacts["pb"] = export_pb(forward, example, out_dir / f"{stem}.pb")
+        if artifacts["pb"]:
+            Path(str(artifacts["pb"]) + ".json").write_text(
                 json.dumps(meta, indent=1, default=str))
+    if "tflite" in include and (sm_dir or int8):
+        rep = None
+        src_dir = sm_dir
+        tfl_meta = meta
+        if int8:
+            rep = _representative_images(data, example.shape) if data else None
+            if rep is None:
+                rng = np.random.default_rng(0)
+                rep = [rng.integers(0, 255, example.shape,
+                                    dtype=np.uint8).astype(np.uint8)
+                       for _ in range(8)]
+            # int8 needs the normalized-box graph (see _build_forward)
+            fwd_n, _, _, _ = _build_forward(weights, cfg, imgsz, batch_size,
+                                            with_nms=with_nms,
+                                            normalize_boxes=True)
+            src_dir = export_saved_model(fwd_n, example,
+                                         out_dir / f"{stem}_saved_model_int8")
+            tfl_meta = dict(meta, normalized=True)
+        if src_dir:
+            artifacts["tflite"] = export_tflite(
+                src_dir, out_dir / f"{stem}{'-int8' if int8 else ''}.tflite",
+                int8=int8, rep_data=rep)
+        if artifacts.get("tflite"):
+            Path(str(artifacts["tflite"]) + ".json").write_text(
+                json.dumps(tfl_meta, indent=1, default=str))
     return artifacts

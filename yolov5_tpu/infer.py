@@ -114,7 +114,8 @@ class Detector:
         w = str(weights)
         # exported TF backends (DetectMultiBackend role): the graph already
         # contains decode, so __call__ only adds NMS
-        if w.endswith("_saved_model") or w.endswith(".tflite"):
+        if w.endswith("_saved_model") or w.endswith(".tflite") \
+                or w.endswith(".pb"):
             self._init_tf_backend(w, imgsz, dtype)
             return
         if w.endswith(".onnx"):
@@ -238,6 +239,28 @@ class Detector:
 
             def fwd(_, images):
                 return jnp.asarray(mod.f(tf.constant(np.asarray(images))))
+        elif w.endswith(".pb"):
+            # frozen GraphDef (reference models/common.py:545-561): import
+            # the graph into a wrapped function and prune to its real I/O
+            import tensorflow as tf
+
+            from yolov5_tpu.export import gd_outputs
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(w).read_bytes())
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+            inputs = [n.name + ":0" for n in gd.node if n.op == "Placeholder"]
+            frozen = wrapped.prune(
+                tf.nest.map_structure(wrapped.graph.as_graph_element, inputs[0]),
+                tf.nest.map_structure(wrapped.graph.as_graph_element,
+                                      gd_outputs(gd)))
+            self.backend = "pb"
+
+            def fwd(_, images):
+                out = frozen(tf.constant(np.asarray(images)))
+                return jnp.asarray(out[0] if isinstance(out, (list, tuple))
+                                   else out)
         else:
             import tensorflow as tf
 
@@ -246,11 +269,19 @@ class Detector:
             inp = interp.get_input_details()[0]
             outd = interp.get_output_details()[0]
             self.backend = "tflite"
+            # int8 exports carry normalized 0-1 boxes (see export.py
+            # _build_forward normalize_boxes); rescale like the reference
+            # DetectMultiBackend does for TF backends (common.py:707)
+            box_scale = float(self.imgsz) if meta.get("normalized") else 1.0
 
             def fwd(_, images):
                 interp.set_tensor(inp["index"], np.asarray(images, np.uint8))
                 interp.invoke()
-                return jnp.asarray(interp.get_tensor(outd["index"]))
+                pred = np.asarray(interp.get_tensor(outd["index"]))
+                if box_scale != 1.0:
+                    pred = np.concatenate(
+                        [pred[..., :4] * box_scale, pred[..., 4:]], -1)
+                return jnp.asarray(pred)
 
         self._forward = fwd
 

@@ -51,7 +51,15 @@ def make_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=Fals
     warmup_momentum = hyp.get("warmup_momentum", 0.8)
     momentum = hyp.get("momentum", 0.937)
     steps_per_epoch = max(round(steps_per_epoch / accumulate), 1)  # real updates
-    nw = max(round(warmup_epochs * steps_per_epoch), round(100 / accumulate))
+    # the 100-iteration floor applies only when warmup is enabled at all:
+    # the reference's nw = max(3 epochs, 100 iters) belongs to the detect
+    # trainer (train.py:338); classify/train.py runs with NO warmup, and
+    # warmup_epochs=0 must mean zero (a 100-step floor silently swallows
+    # short runs whose total step count is below it)
+    if warmup_epochs > 0:
+        nw = max(round(warmup_epochs * steps_per_epoch), round(100 / accumulate))
+    else:
+        nw = 0
     lam = lr_lambda(epochs, lrf, cos_lr)
 
     def base_lr(step):
@@ -60,16 +68,16 @@ def make_schedules(hyp, epochs, steps_per_epoch, batch_size, nbs=64, cos_lr=Fals
 
     def lr_weights(step):
         lr = base_lr(step)
-        w = jnp.clip(step / nw, 0.0, 1.0)
+        w = jnp.clip(step / max(nw, 1), 0.0, 1.0)
         return jnp.where(step < nw, w * lr, lr)
 
     def lr_bias(step):
         lr = base_lr(step)
-        w = jnp.clip(step / nw, 0.0, 1.0)
+        w = jnp.clip(step / max(nw, 1), 0.0, 1.0)
         return jnp.where(step < nw, warmup_bias_lr + w * (lr - warmup_bias_lr), lr)
 
     def mom(step):
-        w = jnp.clip(step / nw, 0.0, 1.0)
+        w = jnp.clip(step / max(nw, 1), 0.0, 1.0)
         return jnp.where(step < nw, warmup_momentum + w * (momentum - warmup_momentum), momentum)
 
     return lr_weights, lr_bias, mom, nw

@@ -264,8 +264,87 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
         state = TrainState(jnp.zeros((), jnp.int32), params, batch_stats, None, ema)
         model.cfg, model.names = cfg, {i: c for i, c in enumerate(train_ds.classes)}
         save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), model,
-                        epochs - 1, best_top1)
+                        epochs - 1, best_top1, extra={"imgsz": imgsz})
     if (save_dir / "last.ckpt").exists():
         loggers.log_model(save_dir / "last.ckpt")
     loggers.close()
     return best_top1, save_dir
+
+
+def validate_classify(weights, data, imgsz=None, batch_size=64, verbose=True):
+    """Standalone classifier validation on an arbitrary checkpoint
+    (reference classify/val.py:1-178): top-1/top-5 accuracy + CE loss over
+    an ImageFolder, with a per-class accuracy table. Returns a dict
+    {"top1", "top5", "loss", "per_class": {name: (n, top1, top5)}}.
+    """
+    import optax
+
+    from yolov5_tpu.models import ClassificationModel
+    from yolov5_tpu.utils.checkpoint import load_checkpoint, variables_from_checkpoint
+
+    payload, meta = load_checkpoint(weights)
+    names = {int(k): v for k, v in (meta.get("names") or {}).items()}
+    model = ClassificationModel(meta.get("cfg", "yolov5s"),
+                                nc=meta.get("nc", len(names) or 1000),
+                                cutoff=int(meta.get("cutoff", 10)))
+    variables = variables_from_checkpoint(payload)
+    if imgsz is None:
+        imgsz = int(meta.get("imgsz", 224))
+
+    root = Path(data)
+    for sub in ("val", "test", ""):
+        cand = root / sub if sub else root
+        if cand.is_dir() and any(d.is_dir() for d in cand.iterdir()):
+            root = cand
+            break
+    ds = ImageFolder(root, img_size=imgsz)
+    nc = len(ds.classes)
+
+    @jax.jit
+    def eval_fn(v, images):
+        return model.module.apply(v, normalize(images, model.dtype),
+                                  train=False).astype(jnp.float32)
+
+    n = len(ds)
+    top1 = np.zeros(nc, np.int64)
+    top5 = np.zeros(nc, np.int64)
+    count = np.zeros(nc, np.int64)
+    loss_sum = 0.0
+    for b0 in range(0, n, batch_size):
+        sel = list(range(b0, min(b0 + batch_size, n)))
+        ims, labels = zip(*(ds.load(i) for i in sel))
+        images = np.stack(ims)
+        labels = np.array(labels, np.int64)
+        if len(sel) < batch_size:  # pad to the compiled shape, mask later
+            pad = batch_size - len(sel)
+            images = np.concatenate([images, np.zeros((pad, *images.shape[1:]),
+                                                      images.dtype)])
+        logits = np.asarray(eval_fn(variables, jnp.asarray(images)))[:len(sel)]
+        loss_sum += float(optax.softmax_cross_entropy_with_integer_labels(
+            jnp.asarray(logits), jnp.asarray(labels)).sum())
+        rank = np.argsort(-logits, axis=1)
+        for lab, r in zip(labels, rank):
+            count[lab] += 1
+            top1[lab] += int(r[0] == lab)
+            top5[lab] += int((r[:5] == lab).any())
+
+    tot = max(int(count.sum()), 1)
+    out = {
+        "top1": float(top1.sum() / tot),
+        "top5": float(top5.sum() / tot),
+        "loss": loss_sum / tot,
+        "images": int(count.sum()),
+        "per_class": {
+            (names.get(c) or ds.classes[c]): (int(count[c]),
+                                              float(top1[c] / max(count[c], 1)),
+                                              float(top5[c] / max(count[c], 1)))
+            for c in range(nc)
+        },
+    }
+    if verbose:
+        print(f"{'Class':>20s} {'Images':>7s} {'top1_acc':>9s} {'top5_acc':>9s}")
+        print(f"{'all':>20s} {out['images']:7d} {out['top1']:9.3g} "
+              f"{out['top5']:9.3g}   loss {out['loss']:.4g}")
+        for cname, (cn, t1, t5) in out["per_class"].items():
+            print(f"{cname:>20s} {cn:7d} {t1:9.3g} {t5:9.3g}")
+    return out
