@@ -22,6 +22,53 @@ if jax.config.jax_platforms != "cpu":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Slow tier (measured >=8s each on the CI reference machine; the multihost
+# cluster fixture alone is ~2 min). `pytest -m "not slow"` is the <5-minute
+# inner loop the CI Smoke job runs; the full suite stays the merge gate
+# (reference ci-testing.yml Tests job).
+SLOW = {
+    "tests/test_multihost.py": None,  # whole module (2-process cluster)
+    "tests/test_segment.py": {
+        "test_segment_model_outputs",
+        "test_seg_run_resume_e2e", "test_segment_loss_and_step",
+        "test_segment_loss_no_masks_matches_detect",
+        "test_segment_export_matches_jax"},
+    "tests/test_device_aug_seg.py": {"test_seg_device_cache_train_step"},
+    "tests/test_device_aug.py": {
+        "test_mosaic_in_batch_in_train_step", "test_mosaic_device_in_train_step"},
+    "tests/test_api.py": {"test_detector_tta", "test_serve_handler",
+                          "test_export_formats_table"},
+    "tests/test_onnx.py": {"test_leaky_relu_variant_export",
+                           "test_cv2_dnn_backend_matches_mini_runtime",
+                           "test_detect_export_matches_jax",
+                           "test_segment_export_matches_jax"},
+    "tests/test_resume.py": {
+        "test_ema_ticks_once_per_real_update",
+        "test_accumulate_ramp_and_ema_invariant", "test_opt_state_roundtrip"},
+    "tests/test_model.py": {"test_detection_forward_and_decode", "test_classification_forward",
+                            "test_train_mode_updates_batch_stats"},
+    "tests/test_train_step.py": {"test_epoch_step_matches_per_batch_steps",
+                                 "test_device_cache_step_multichip"},
+    "tests/test_rasterize.py": {"test_matches_host_rasterizer"},
+    "tests/test_classify_device.py": {"test_classify_device_cache_epoch_scan"},
+    "tests/test_loss.py": {"test_loss_gradients_flow", "test_loss_no_targets"},
+    "tests/test_nms.py": {
+        "test_verified_selection_matches_exact_sparse_and_dense",
+        "test_merge_nms_runs", "test_nms_agnostic_vs_per_class",
+        "test_nms_mask_coeff_passthrough"},
+    "tests/test_full_model_parity.py": None,  # torch re-impl cross-checks
+    "tests/test_native_space_eval.py": {"test_val_save_txt_and_hybrid"},
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.path.relative_to(config.rootpath).as_posix() \
+            if item.path else ""
+        names = SLOW.get(rel, ())
+        if names is None or item.originalname in (names or ()):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

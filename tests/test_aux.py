@@ -1,6 +1,8 @@
 """Aux systems: autoanchor, hyp presets, checkpoint round-trip, loggers,
 callbacks, increment_path, plots smoke."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -257,17 +259,21 @@ def test_cloud_logger_adapters_with_fake_sdks(monkeypatch, tmp_path):
         def log(self, row, step=None):
             events["wandb"].append(("log", dict(row), step))
 
-        def log_artifact(self, art):
-            events["wandb"].append(("artifact", art.files))
+        def log_artifact(self, art, aliases=None):
+            events["wandb"].append(("artifact", art.files, aliases))
 
         def finish(self):
             events["wandb"].append(("finish",))
 
     class _Art:
-        def __init__(self, name, type):
+        def __init__(self, name, type, metadata=None):
             self.files = []
+            self.metadata = metadata or {}
 
-        def add_file(self, p):
+        def add_file(self, p, name=None):
+            self.files.append(p)
+
+        def add_dir(self, p, name=None):
             self.files.append(p)
 
     wandb.init = lambda **kw: _Run()
@@ -290,8 +296,12 @@ def test_cloud_logger_adapters_with_fake_sdks(monkeypatch, tmp_path):
         def get_logger(self):
             return _TaskLogger()
 
-        def update_output_model(self, model_path):
+        def update_output_model(self, model_path, model_name=None,
+                                auto_delete_file=True):
             events["clearml"].append(("model", model_path))
+
+        def connect_configuration(self, cfg, name=None):
+            events["clearml"].append(("dataset", dict(cfg)))
 
         def close(self):
             events["clearml"].append(("close",))
@@ -313,8 +323,14 @@ def test_cloud_logger_adapters_with_fake_sdks(monkeypatch, tmp_path):
         def log_metrics(self, m, step=None):
             events["comet"].append(("metrics", dict(m), step))
 
-        def log_model(self, name, path):
+        def log_model(self, name, path, file_name=None, metadata=None):
             events["comet"].append(("model", path))
+
+        def log_asset(self, path):
+            events["comet"].append(("asset", path))
+
+        def log_others(self, d):
+            events["comet"].append(("others", dict(d)))
 
         def end(self):
             events["comet"].append(("end",))
@@ -346,3 +362,192 @@ def test_cloud_logger_adapters_with_fake_sdks(monkeypatch, tmp_path):
     # selective enable
     monkeypatch.setenv("YOLOV5_TPU_LOGGERS", "comet")
     assert len(L.Loggers(tmp_path / "exp3", enable_tb=False).cloud) == 1
+
+
+def test_wandb_model_artifact_aliases_and_dataset(monkeypatch, tmp_path):
+    """Model artifacts carry training metadata + latest/last/epoch-N/best
+    aliases, and --upload-dataset logs a dataset artifact (reference
+    wandb_utils.py:96-130 log_model, log_dataset_artifact role)."""
+    import sys
+    import types
+
+    from yolov5_tpu.utils import loggers as L
+
+    logged = []
+
+    class _Art:
+        def __init__(self, name, type, metadata=None):
+            self.name, self.type, self.metadata = name, type, metadata or {}
+            self.files = []
+
+        def add_file(self, p, name=None):
+            self.files.append((p, name))
+
+        def add_dir(self, p, name=None):
+            self.files.append((p, name))
+
+    class _Run:
+        id = "r1"
+
+        def log_artifact(self, art, aliases=None):
+            logged.append((art, aliases))
+
+        def finish(self):
+            pass
+
+    wandb = types.ModuleType("wandb")
+    wandb.run = None
+    wandb.init = lambda **kw: _Run()
+    wandb.Artifact = _Art
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+
+    sink = L.WandbLogger(tmp_path / "exp")
+    ckpt = tmp_path / "last.ckpt"
+    ckpt.write_bytes(b"x")
+    sink.log_model(ckpt, epoch=3, fitness=0.42, best=True,
+                   opt={"epochs": 10, "project": "runs/train"})
+    art, aliases = logged[-1]
+    assert art.type == "model"
+    assert set(aliases) >= {"latest", "last", "epoch 3", "best"}
+    assert art.metadata["epochs_trained"] == 4
+    assert art.metadata["total_epochs"] == 10
+    assert art.metadata["fitness_score"] == 0.42
+
+    # non-best epoch: no 'best' alias
+    sink.log_model(ckpt, epoch=4, fitness=0.1, best=False, opt={})
+    assert "best" not in logged[-1][1]
+
+    # dataset artifact: yaml + split dirs
+    (tmp_path / "images").mkdir()
+    yml = tmp_path / "data.yaml"
+    yml.write_text("train: images\n")
+    sink.log_dataset({"train": str(tmp_path / "images"), "nc": 2,
+                      "names": {0: "a", 1: "b"}}, yaml_file=yml)
+    art, _ = logged[-1]
+    assert art.type == "dataset"
+    assert len(art.files) == 2  # yaml + train dir
+
+
+def test_check_comet_resume(monkeypatch, tmp_path):
+    """comet:// resume rehydrates opt.yaml and downloads the newest model
+    checkpoint (reference comet_utils.py:21-120)."""
+    import sys
+    import types
+
+    import yaml as _yaml
+
+    from yolov5_tpu.utils import loggers as L
+
+    opt_saved = {"data": "shapes.yaml", "cfg": "yolov5n", "epochs": 7,
+                 "resume": "stale"}
+    assets = {"a1": _yaml.safe_dump(opt_saved).encode(),
+              "m-new": b"CKPT-NEW", "m-old": b"CKPT-OLD"}
+
+    class _Exp:
+        name = "exp9"
+
+        def get_asset_list(self):
+            return [{"fileName": "opt.yaml", "assetId": "a1"}]
+
+        def get_model_asset_list(self, model_name):
+            assert model_name == "yolov5_tpu"
+            return [{"fileName": "last.ckpt", "assetId": "m-old", "step": 3},
+                    {"fileName": "last.ckpt", "assetId": "m-new", "step": 9}]
+
+        def get_asset(self, asset_id, return_type="binary", stream=False):
+            return assets[asset_id]
+
+    comet = types.ModuleType("comet_ml")
+
+    class _API:
+        def get(self, path):
+            assert path == "ws/proj/exp9"
+            return _Exp()
+
+    comet.API = _API
+    monkeypatch.setitem(sys.modules, "comet_ml", comet)
+
+    assert L.check_comet_resume("runs/train/x", "runs/train") is None
+    got = L.check_comet_resume("comet://ws/proj/exp9",
+                               project=str(tmp_path / "runs"))
+    assert got is not None
+    opt, ckpt = got
+    assert opt["epochs"] == 7 and opt["cfg"] == "yolov5n"
+    # newest-step asset wins
+    assert Path(ckpt).read_bytes() == b"CKPT-NEW"
+    assert Path(ckpt).name == "last.ckpt"
+
+
+def test_check_wandb_resume(monkeypatch, tmp_path):
+    """wandb-artifact:// resume downloads the model artifact and picks its
+    last.ckpt."""
+    import sys
+    import types
+
+    from yolov5_tpu.utils import loggers as L
+
+    dl = tmp_path / "dl"
+
+    class _Artifact:
+        def download(self, root=None):
+            dl.mkdir(parents=True, exist_ok=True)
+            (dl / "last.ckpt").write_bytes(b"W")
+            return str(dl)
+
+    class _Api:
+        def artifact(self, path, type=None):
+            assert path == "ent/proj/run_r1_model:latest"
+            return _Artifact()
+
+    wandb = types.ModuleType("wandb")
+    wandb.Api = _Api
+    monkeypatch.setitem(sys.modules, "wandb", wandb)
+
+    assert L.check_wandb_resume("runs/train/x") is None
+    p = L.check_wandb_resume("wandb-artifact://ent/proj/run_r1_model:latest",
+                             project=str(tmp_path / "runs"))
+    assert Path(p).read_bytes() == b"W"
+
+
+def test_construct_clearml_dataset(monkeypatch, tmp_path):
+    """clearml:// --data materializes the dataset version and resolves its
+    yaml definition (reference clearml_utils.py:41-81), end-to-end through
+    check_dataset."""
+    import sys
+    import types
+
+    root = tmp_path / "ds"
+    (root / "images" / "train").mkdir(parents=True)
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "def.yaml").write_text(
+        "train: images/train\nval: images/val\nnc: 2\nnames: [a, b]\n")
+
+    clearml = types.ModuleType("clearml")
+
+    class _DS:
+        @staticmethod
+        def get(dataset_id):
+            assert dataset_id == "abc123"
+            return _DS()
+
+        def get_local_copy(self):
+            return str(root)
+
+    clearml.Dataset = _DS
+    monkeypatch.setitem(sys.modules, "clearml", clearml)
+
+    from yolov5_tpu.utils.general import check_dataset
+
+    d = check_dataset("clearml://abc123")
+    assert d["nc"] == 2 and d["names"] == {0: "a", 1: "b"}
+    assert d["train"] == str((root / "images" / "train").resolve())
+    assert d["val"] == str((root / "images" / "val").resolve())
+
+    # two yamls in the root is ambiguous -> error
+    (root / "other.yaml").write_text("x: 1\n")
+    import pytest as _pytest
+
+    from yolov5_tpu.utils.loggers import construct_clearml_dataset
+
+    with _pytest.raises(ValueError):
+        construct_clearml_dataset("clearml://abc123")

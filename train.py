@@ -38,7 +38,12 @@ def parse_opt():
     p.add_argument("--save-period", type=int, default=-1)
     p.add_argument("--resume", nargs="?", const=True, default="",
                    help="resume most recent (or given) run; the run's saved "
-                        "opt.yaml overrides other train flags")
+                        "opt.yaml overrides other train flags. Also accepts "
+                        "comet://workspace/project/exp and wandb-artifact:// "
+                        "URIs (cloud checkpoint resume)")
+    p.add_argument("--upload-dataset", action="store_true",
+                   help="log the dataset as a versioned artifact to enabled "
+                        "cloud sinks (reference --upload-dataset)")
     p.add_argument("--max-labels", type=int, default=None,
                    help="fixed label capacity per image (default: auto from dataset)")
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
@@ -103,7 +108,7 @@ def main():
         image_weights=opt.image_weights,
         cache=False if opt.cache == "none" else opt.cache,
         noautoanchor=opt.noautoanchor, device_aug=opt.device_aug,
-        quad=opt.quad,
+        quad=opt.quad, upload_dataset=opt.upload_dataset,
     )
 
 

@@ -128,10 +128,29 @@ def run(
     noplots=False,
     rect=False,
     sync_bn=False,
+    upload_dataset=False,
     _resume_ckpt=None,
 ):
     """Train a detector. Returns (best_fitness, results dict, save_dir)."""
     callbacks = callbacks or Callbacks()
+    if resume and _resume_ckpt is None:
+        # cloud resume URIs first: comet:// rehydrates opt + downloads the
+        # newest checkpoint (reference comet_utils.py check_comet_resume);
+        # wandb-artifact:// downloads the model artifact's last.ckpt
+        from yolov5_tpu.utils.loggers import (check_comet_resume,
+                                              check_wandb_resume)
+
+        comet = check_comet_resume(resume, project)
+        if comet is not None:
+            saved, ckpt_path = comet
+            saved.pop("resume", None)
+            print(f"resuming from {resume} -> {ckpt_path}")
+            return run(**saved, _resume_ckpt=ckpt_path,
+                       save_dir=str(Path(ckpt_path).parent),
+                       callbacks=callbacks)
+        wb = check_wandb_resume(resume, project)
+        if wb is not None:
+            resume = wb  # local path now; the run-dir opt.yaml logic below
     if resume and _resume_ckpt is None:
         # rehydrate the interrupted run's own opt.yaml/hyp.yaml so the
         # continuation is config-identical (reference train.py:624-636
@@ -184,6 +203,11 @@ def run(
     (save_dir / "hyp.yaml").write_text(yaml.safe_dump(hyp, sort_keys=False))
     (save_dir / "opt.yaml").write_text(yaml.safe_dump(opt_dict, sort_keys=False))
     loggers = Loggers(save_dir)
+    # run config assets: what comet:// resume reads back (set_opt_parameters)
+    loggers.log_asset(save_dir / "opt.yaml")
+    loggers.log_asset(save_dir / "hyp.yaml")
+    if upload_dataset:
+        loggers.log_dataset(data_dict, yaml_file=data_dict.get("yaml_file"))
     last, best = save_dir / "last.ckpt", save_dir / "best.ckpt"
 
     # model
@@ -426,6 +450,11 @@ def run(
                 if save_period > 0 and epoch % save_period == 0:
                     save_checkpoint(save_dir / f"epoch{epoch}.ckpt",
                                     host_state, model, epoch, best_fitness)
+                    # per-period cloud model artifact (reference
+                    # loggers on_model_save -> wandb log_model with
+                    # latest/epoch-N/best aliases)
+                    loggers.log_model(last, epoch=epoch, fitness=fi,
+                                      best=best_fitness == fi, opt=opt_dict)
                 callbacks.run("on_model_save", epoch=epoch)
             callbacks.run("on_fit_epoch_end", epoch=epoch, fitness=fi)
             if stopper(epoch, fi):
@@ -442,6 +471,7 @@ def run(
         plot_labels(train_ds.labels, model.names, save_dir)
     callbacks.run("on_train_end")
     if best.exists():
-        loggers.log_model(best)
+        loggers.log_model(best, epoch=epoch, fitness=best_fitness, best=True,
+                          opt=opt_dict)
     loggers.close()
     return best_fitness, results, save_dir

@@ -64,6 +64,12 @@ def check_dataset(data):
     {path?, train, val?, test?, names|nc} (reference general.py:350-405,
     minus auto-download — this environment has no egress; a clear error
     replaces the download hook)."""
+    if isinstance(data, str) and data.startswith("clearml://"):
+        # versioned ClearML dataset: materialize + resolve it first
+        # (reference utils/loggers/clearml/clearml_utils.py:41-81)
+        from yolov5_tpu.utils.loggers import construct_clearml_dataset
+
+        data = construct_clearml_dataset(data)
     if isinstance(data, (str, Path)):
         p = Path(data)
         if not p.exists():
