@@ -71,6 +71,10 @@ def _train_step_time(batch, imgsz, k_lo=5, k_hi=15):
 
     state = init_train_state(model, tx)
     state = run(state, 1)  # compile + warm
+    if hasattr(step, "put"):
+        # steady-state input pipeline: prefetch uploads straight into the
+        # step's preferred image layout (trainer.AutoLayoutStep)
+        batch_d = step.put(batch_d)
     ts = []
     for _rep in range(3):
         t0 = time.perf_counter()

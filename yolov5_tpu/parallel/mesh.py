@@ -77,7 +77,7 @@ def replicate(tree, mesh: Mesh):
 _DONE = object()
 
 
-def prefetch_to_mesh(iterator, mesh: Mesh, depth=2, transform=None):
+def prefetch_to_mesh(iterator, mesh: Mesh, depth=2, transform=None, put=None):
     """Double-buffered input pipeline: a background thread pulls host batches,
     applies `transform` (host-side prep), and `jax.device_put`s them with
     batch sharding up to `depth` ahead — overlapping augmentation and the
@@ -95,7 +95,13 @@ def prefetch_to_mesh(iterator, mesh: Mesh, depth=2, transform=None):
             for b in iterator:
                 if transform is not None:
                     b = transform(b)
-                q.put(shard_batch(b, mesh))
+                if put is not None:
+                    # the train step's preferred-layout uploader
+                    # (trainer.AutoLayoutStep.put); falls back to a plain
+                    # sharded put until the step has compiled
+                    q.put(put(b))
+                else:
+                    q.put(shard_batch(b, mesh))
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:

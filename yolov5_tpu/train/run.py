@@ -409,7 +409,8 @@ def run(
                     callbacks.run("on_train_batch_end")
             else:
                 stream = prefetch_to_mesh(iter(train_loader), mesh, depth=2,
-                                          transform=host_prep)
+                                          transform=host_prep,
+                                          put=getattr(step_fn, "put", None))
                 for batch in stream:
                     state, metrics = step_fn(state, batch)
                     # accumulate on device: a float() here would force a full

@@ -482,7 +482,8 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             else:
                 for batch in prefetch_to_mesh(
                         iter(train_loader), mesh, depth=2,
-                        transform=lambda b: {k: b[k] for k in keys}):
+                        transform=lambda b: {k: b[k] for k in keys},
+                        put=getattr(step_fn, "put", None)):
                     state, metrics = step_fn(state, batch)
                     # device-side accumulation: no per-step host sync
                     agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)

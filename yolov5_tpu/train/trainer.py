@@ -143,6 +143,93 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
     return step_fn
 
 
+class AutoLayoutStep:
+    """Jitted train step that lets XLA pick the image input's device layout.
+
+    The compiled step wants the image batch in its internal (batch-minor)
+    layout; fed a default-layout array, XLA prepends a relayout copy
+    (~0.6 ms @640 b32 on v5e, measured). AOT-compiling with
+    ``Format(Layout.AUTO)`` on ``batch["images"]`` and ``device_put``-ing
+    each incoming batch into the chosen format deletes that copy — host
+    batches upload straight into the preferred layout. Per-(shape, dtype,
+    key-set) compile cache, so per-batch multi-scale keeps working. TPU
+    only; other platforms fall back to the plain jitted path.
+    """
+
+    def __init__(self, step_fn, state_spec=None, data_spec=None):
+        self._fn = step_fn
+        self._state_spec = state_spec
+        self._data_spec = data_spec
+        self._cache = {}
+        if state_spec is None:
+            self._plain = jax.jit(step_fn, donate_argnums=0)
+        else:
+            self._plain = jax.jit(step_fn, donate_argnums=0,
+                                  in_shardings=(state_spec, data_spec),
+                                  out_shardings=(state_spec, state_spec))
+
+    def _compile(self, state, batch):
+        from jax.experimental.layout import Format, Layout
+
+        auto = (Format(Layout.AUTO, self._data_spec)
+                if self._data_spec is not None else Format(Layout.AUTO))
+        batch_sh = {k: (auto if k == "images" else self._data_spec)
+                    for k in batch}
+        jitted = jax.jit(self._fn, donate_argnums=0,
+                         in_shardings=(self._state_spec, batch_sh),
+                         out_shardings=((self._state_spec, self._state_spec)
+                                        if self._state_spec is not None
+                                        else None))
+        # Layout.AUTO requires abstract args at lowering time (a concrete
+        # jax.Array carries a layout that conflicts with AUTO).
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (state, batch))
+        compiled = jitted.lower(*abstract).compile()
+        fmt = compiled.input_formats[0][1]["images"]
+        return compiled, fmt
+
+    def _key(self, batch):
+        imgs = batch["images"]
+        return (tuple(imgs.shape), str(imgs.dtype), tuple(sorted(batch)))
+
+    def put(self, batch):
+        """Device-put a (host or device) batch with the step's preferred
+        image layout — the H2D upload lands directly in the compiled step's
+        internal format. Passthrough until the first step at this image
+        shape has compiled (the format isn't known yet); the input pipeline
+        (prefetch_to_mesh) calls this for every batch."""
+        if jax.process_count() > 1:  # multi-host: per-process assembly path
+            from yolov5_tpu.parallel.mesh import shard_batch
+            return shard_batch(batch, self._data_spec.mesh)
+        entry = (self._cache.get(self._key(batch))
+                 if "images" in batch else None)
+        spec = self._data_spec
+        put = {k: (entry[1] if entry is not None and k == "images" else spec)
+               for k in batch}
+        if entry is None and spec is None:
+            return batch
+        return {k: jax.device_put(batch[k], put[k]) if put[k] is not None
+                else batch[k] for k in batch}
+
+    def __call__(self, state, batch):
+        if ("images" not in batch
+                or jax.default_backend() not in ("tpu", "axon")):
+            return self._plain(state, batch)
+        imgs = batch["images"]
+        entry = self._cache.get(self._key(batch))
+        if entry is None:
+            entry = self._cache[self._key(batch)] = self._compile(state, batch)
+        compiled, fmt = entry
+        if getattr(imgs, "format", None) != fmt:
+            batch = dict(batch, images=jax.device_put(imgs, fmt))
+        if self._data_spec is None:
+            # AOT executables want committed jax.Arrays, not host numpy
+            batch = {k: v if isinstance(v, jax.Array) else jnp.asarray(v)
+                     for k, v in batch.items()}
+        return compiled(state, batch)
+
+
 def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
                     device_aug_hyp=None, device_cache=False, mask_shape=None,
                     overlap=True):
@@ -165,7 +252,7 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
     if mesh is None:
         if device_cache:
             return jax.jit(step_fn, donate_argnums=0)
-        return jax.jit(lambda s, b: step_fn(s, b), donate_argnums=0)
+        return AutoLayoutStep(lambda s, b: step_fn(s, b))
 
     rep = replicated_spec(mesh)
     data = shard_batch_spec(mesh)
@@ -176,12 +263,8 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
             out_shardings=(rep, rep),
             donate_argnums=0,
         )
-    return jax.jit(
-        lambda s, b: step_fn(s, b),
-        in_shardings=(rep, data),
-        out_shardings=(rep, rep),
-        donate_argnums=0,
-    )
+    return AutoLayoutStep(lambda s, b: step_fn(s, b),
+                          state_spec=rep, data_spec=data)
 
 
 def make_epoch_step(model, loss_fn, tx, mesh, has_masks=False,
