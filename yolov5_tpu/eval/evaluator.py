@@ -85,7 +85,11 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 
     stats = []
     losses = []
-    t_fwd = t_nms = t_host = 0.0
+    # per-batch timings; the first batch pays the jit compile on TPU, so the
+    # reported speeds (reference val.py prints steady-state ms/img) drop it
+    # whenever there is more than one batch
+    bt_fwd, bt_nms, bt_host = [], [], []
+    bt_imgs = []
     n_images = 0
     for batch in loader:
         images = jnp.asarray(batch["images"])
@@ -189,9 +193,10 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
                         "score": round(float(row[4]), 5),
                     })
         t3 = time.perf_counter()
-        t_fwd += t1 - t0
-        t_nms += t2 - t1
-        t_host += t3 - t2
+        bt_fwd.append(t1 - t0)
+        bt_nms.append(t2 - t1)
+        bt_host.append(t3 - t2)
+        bt_imgs.append(bs)
 
     tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
     conf = np.concatenate([s[1] for s in stats]) if stats else np.zeros(0)
@@ -210,13 +215,15 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         mp = mr = map50 = mean_ap = 0.0
         per_class = {}
 
-    ms = lambda t: 1000 * t / max(n_images, 1)
+    skip = 1 if len(bt_imgs) > 1 else 0  # drop the compile-paying first batch
+    n_timed = max(sum(bt_imgs[skip:]), 1)
+    ms = lambda ts: 1000 * sum(ts[skip:]) / n_timed
     out = {
         "mp": float(mp), "mr": float(mr), "map50": float(map50),
         "map": float(mean_ap),
         "fitness": fitness([mp, mr, map50, mean_ap]),
         "per_class": per_class,
-        "speed_ms": {"forward": ms(t_fwd), "nms": ms(t_nms), "host": ms(t_host)},
+        "speed_ms": {"forward": ms(bt_fwd), "nms": ms(bt_nms), "host": ms(bt_host)},
         "images": n_images,
     }
     if save_json:
