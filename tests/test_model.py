@@ -301,3 +301,79 @@ def test_multiscale_sizes_reference_range():
     rng = np.random.default_rng(0)
     drawn = {int(rng.choice(sizes)) for _ in range(200)}
     assert drawn == set(sizes)
+
+
+def test_packed_stem_matches_plain():
+    """The phase-packed stem fast path (layers.Conv.pack, TPU default) is a
+    pure re-indexing of the canonical stem pair: identical param tree,
+    matching outputs/grads/BN-stats in both train and eval mode, and a
+    matching fused (deploy) path."""
+    import jax.tree_util as jtu
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 3)), jnp.float32)
+    plain = DetectionModel("yolov5n", packed_stem=False)
+    packed = DetectionModel("yolov5n", packed_stem=True)
+
+    l1 = jtu.tree_leaves_with_path(plain.variables)
+    l2 = jtu.tree_leaves_with_path(packed.variables)
+    assert [p for p, _ in l1] == [p for p, _ in l2]  # checkpoint-compatible
+
+    y1 = plain.apply(plain.variables, x, train=False)
+    y2 = packed.apply(packed.variables, x, train=False)
+    for a, b in zip(jax.tree.leaves(y1), jax.tree.leaves(y2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+    o1, s1 = plain.apply(plain.variables, x, train=True, mutable=["batch_stats"])
+    o2, s2 = packed.apply(packed.variables, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(o2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+    for (p, a), (_, b) in zip(jtu.tree_leaves_with_path(s1),
+                              jtu.tree_leaves_with_path(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=str(p))
+
+    def make_loss(model):
+        def loss(params, x):
+            v = {**model.variables, "params": params}
+            out = model.apply(v, x, train=False)
+            return sum((jnp.asarray(o, jnp.float32) ** 2).mean()
+                       for o in jax.tree.leaves(out))
+        return loss
+
+    g1 = jax.grad(make_loss(plain))(plain.variables["params"], x)
+    g2 = jax.grad(make_loss(packed))(packed.variables["params"], x)
+    for (p, a), (_, b) in zip(jtu.tree_leaves_with_path(g1),
+                              jtu.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(p))
+
+    # fused deploy path: same folded weights, same output
+    fv = fuse_conv_bn(plain.variables)
+    fp = DetectionModel("yolov5n", fused=True, packed_stem=False)
+    fq = DetectionModel("yolov5n", fused=True, packed_stem=True)
+    yf1 = fp.apply(fv, x, train=False)
+    yf2 = fq.apply(fv, x, train=False)
+    for a, b in zip(jax.tree.leaves(yf1), jax.tree.leaves(yf2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_packed_stem_pattern_gate():
+    """Packing only engages on the 6x6/s2+3x3/s2 stem pair; a Focus stem
+    (yolov5s-v4 style hub configs / yolov3) must fall back cleanly."""
+    from yolov5_tpu.models.yolo import _stem_packable
+
+    det = DetectionModel("yolov5n", packed_stem=False)
+    assert _stem_packable(det.specs, det.save)
+    v3 = DetectionModel("yolov3-tiny", packed_stem=True)  # maxpool stem
+    assert not _stem_packable(v3.specs, v3.save)
+    x = jnp.zeros((1, 96, 96, 3))
+    maps = v3.apply(v3.variables, x, train=False)  # runs the plain path
+    assert len(maps) == 2
+    # odd input sizes fall back at call time (96 % 4 == 0 path tested above)
+    det_p = DetectionModel("yolov5n", packed_stem=True)
+    m = det_p.apply(det_p.variables, jnp.zeros((1, 96, 96, 3)), train=False)
+    assert m[0].shape == (1, 12, 12, 3, 85)

@@ -91,6 +91,9 @@ def _build_forward(weights, cfg, imgsz, batch_size, with_nms=False,
 
     det = Detector(weights, cfg=cfg, imgsz=imgsz, fuse=True)
     model, variables = det.model, det.variables
+    # export the canonical graph: the phase-packed stem (layers.Conv.pack)
+    # is a TPU runtime optimization; exported artifacts stay portable
+    model.module = model.module.clone(packed_stem=False)
 
     def forward(images):
         x = images.astype(jnp.float32) / 255.0

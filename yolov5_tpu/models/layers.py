@@ -19,11 +19,13 @@ maps mechanically to the flax path ``layers_4/m_0/cv1/conv/kernel``.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # BN hyperparameters matching the reference training recipe
@@ -50,16 +52,19 @@ def autopad(k: int, p: int | None = None, d: int = 1) -> int:
 
 class _ConvParams(nn.Module):
     """Declares the same (kernel, bias) params as ``nn.Conv`` — used by the
-    Pallas stem fast path to reuse nn.Conv's param tree (path conv/kernel,
-    conv/bias) while bypassing its compute."""
+    Pallas stem and phase-packed stem fast paths to reuse nn.Conv's param
+    tree (path conv/kernel, conv/bias) while bypassing its compute."""
 
     features: int
     kshape: tuple
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (*self.kshape, self.features), jnp.float32)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         return kernel, bias
@@ -84,6 +89,48 @@ def _use_stem_kernel(mod, x, train):
             and jax.default_backend() == "tpu")
 
 
+def _space_to_depth2(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); packed channel = (dy, dx, c)
+    row-major — one pixel of the packed grid holds the 2x2 phase block."""
+    b, h, w, c = x.shape
+    return (x.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c))
+
+
+@functools.lru_cache(maxsize=None)
+def _stem_pack_maps():
+    """Constant 0/1 routing tensors that re-express the yolov5 stem pair
+    (6x6/s2 then 3x3/s2) as convs over space-to-depth ("phase packed")
+    coordinates. Derivation: for output phase (dy,dx) and kernel tap ky,
+    the packed input pixel P with in-phase dyi = ky%2 satisfies
+    2P + dyi = 4Y + 2dy + ky - 2, i.e. tap ty = P - 2Y = dy + (ky-2-dyi)/2
+    in {-1..2} -> a 4x4 packed kernel (pad (1,2)); for the 3x3 the same
+    algebra gives taps {-1,0} -> a 2x2 packed kernel (pad (1,0)).
+
+    M0[ky,kx,ty,tx,pi,po] routes W0[ky,kx,ci,co] -> K0p[ty,tx,(pi,ci),(po,co)]
+    M1[ky,kx,ty,tx,pi]    routes W1[ky,kx,ci,co] -> K1p[ty,tx,(pi,ci),co]
+    """
+    m0 = np.zeros((6, 6, 4, 4, 4, 4), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for ky in range(6):
+                dyi = ky % 2
+                ty = dy + (ky - 2 - dyi) // 2 + 1
+                for kx in range(6):
+                    dxi = kx % 2
+                    tx = dx + (kx - 2 - dxi) // 2 + 1
+                    m0[ky, kx, ty, tx, dyi * 2 + dxi, dy * 2 + dx] = 1.0
+    m1 = np.zeros((3, 3, 2, 2, 4), np.float32)
+    for ky in range(3):
+        d_y = (ky + 1) % 2
+        ty = (ky - 1 - d_y) // 2 + 1
+        for kx in range(3):
+            d_x = (kx + 1) % 2
+            tx = (kx - 1 - d_x) // 2 + 1
+            m1[ky, kx, ty, tx, d_y * 2 + d_x] = 1.0
+    return m0, m1
+
+
 class Conv(nn.Module):
     """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
 
@@ -91,6 +138,16 @@ class Conv(nn.Module):
     (kernel + bias) and skips normalization — the deploy-time fast path.
     ``g = -1`` means depthwise-style grouping gcd(c1, c2) (the reference's
     DWConv, models/common.py:95-103).
+
+    ``pack`` selects the phase-packed stem fast path (TPU): "stem0" takes a
+    canonical image, space-to-depth packs it and emits a packed map;
+    "stem1" consumes a packed map and emits a canonical one. Parameters and
+    math are identical to the plain path (the packed kernels are a linear
+    re-indexing of the canonical ones, built inside the jitted forward), so
+    checkpoints, weight import and BN statistics are unaffected. Measured
+    @640 b32 bf16 on v5e: stem pair fwd 8.68 -> 3.95 ms, fwd+bwd
+    12.59 -> 6.21 ms (the 3-channel 6x6 stem wastes the 8x128x128 MXU;
+    packed it runs 12->128 channels at 1/4 the spatial points).
     """
 
     c2: int
@@ -102,9 +159,62 @@ class Conv(nn.Module):
     act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
+    pack: str = ""
+
+    def _packed_stem(self, x, train):
+        """Both packed stem flavors; declares the exact nn.Conv/nn.BatchNorm
+        param tree the plain path would."""
+        m0, m1 = _stem_pack_maps()
+        if self.pack == "stem0":
+            ci = x.shape[-1]
+            kernel, bias = _ConvParams(self.c2, (self.k, self.k, ci),
+                                       use_bias=self.fused, name="conv")()
+            kp = jnp.einsum("abtupq,abio->tupiqo", jnp.asarray(m0, self.dtype),
+                            kernel.astype(self.dtype))
+            kp = kp.reshape(4, 4, 4 * ci, 4 * self.c2)
+            xp = _space_to_depth2(x.astype(self.dtype))
+            # asymmetric padding goes through jnp.pad: conv_general_dilated
+            # with uneven pads stalls the tunneled TPU backend
+            xp = jnp.pad(xp, ((0, 0), (1, 2), (1, 2), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xp, kp, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.fused:
+                y = y + jnp.tile(bias, 4).astype(y.dtype)
+            else:
+                b, hp, wp, _ = y.shape
+                # packed channel = (phase, c2): BN over a (..., 4, c2) view
+                # reduces each canonical channel over all 4 phases — the same
+                # value multiset (and the same (c2,) param/stat shapes) as the
+                # canonical path
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 dtype=self.dtype, name="bn")(
+                    y.reshape(b, hp, wp, 4, self.c2))
+                y = y.reshape(b, hp, wp, 4 * self.c2)
+            return ACTIVATIONS[self.act](y)
+        # stem1: packed in, canonical out
+        ci = x.shape[-1] // 4
+        kernel, bias = _ConvParams(self.c2, (self.k, self.k, ci),
+                                   use_bias=self.fused, name="conv")()
+        kp = jnp.einsum("abtup,abio->tupio", jnp.asarray(m1, self.dtype),
+                        kernel.astype(self.dtype))
+        kp = kp.reshape(2, 2, 4 * ci, self.c2)
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (1, 0), (1, 0), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, kp, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.fused:
+            y = y + bias.astype(y.dtype)
+        else:
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn")(y)
+        return ACTIVATIONS[self.act](y)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.pack:
+            return self._packed_stem(x, train)
         pad = autopad(self.k, self.p, self.d)
         g = math.gcd(x.shape[-1], self.c2) if self.g == -1 else self.g
         if _use_stem_kernel(self, x, train):

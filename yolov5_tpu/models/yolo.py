@@ -215,8 +215,43 @@ def parse_graph(cfg: dict, ch_in: int = 3):
     return specs, tuple(sorted(save)), ch[1:]
 
 
-def _build_module(spec: LayerSpec, fused: bool, dtype, name: str) -> nn.Module:
+def _stem_packable(specs, save) -> bool:
+    """True when layers 0-1 are the standard yolov5 v6.0 stem pair
+    (Conv c0 6x6/s2/p2 from the image, Conv c1 3x3/s2 from it, nothing else
+    reading layer 0) — the pattern the phase-packed fast path re-expresses
+    (see layers.Conv.pack). Reference models/yolov5s.yaml backbone rows 0-1."""
+    if len(specs) < 2 or 0 in save:
+        return False
+    for spec, k, want_pad in ((specs[0], 6, 2), (specs[1], 3, 1)):
+        if spec.module != "Conv" or spec.frm != (-1,) or spec.n != 1:
+            return False
+        kw = dict(spec.kwargs)
+        if kw.get("g", 1) != 1 or kw.get("d", 1) != 1:
+            return False
+        a = spec.args  # (c2, k, s[, p])
+        if len(a) < 3 or a[1] != k or a[2] != 2:
+            return False
+        if L.autopad(k, a[3] if len(a) > 3 else None) != want_pad:
+            return False
+    return True
+
+
+def _packed_stem_default() -> bool:
+    """Packed stem on by default on TPU; YOLOV5_TPU_PACKED_STEM=0/1
+    overrides (e.g. to exercise the packed path in CPU tests)."""
+    import os
+
+    v = os.environ.get("YOLOV5_TPU_PACKED_STEM")
+    if v is not None:
+        return v == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _build_module(spec: LayerSpec, fused: bool, dtype, name: str,
+                  pack: str = "") -> nn.Module:
     kw = dict(spec.kwargs)
+    if pack:
+        kw["pack"] = pack
     registry = {
         "Conv": L.Conv,
         "DWConv": L.DWConv,
@@ -270,11 +305,18 @@ class YOLOGraph(nn.Module):
     save: tuple
     fused: bool = False
     dtype: Any = jnp.float32
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         saved = {}
         out = x
+        # packed stem needs H, W divisible by 4 (one s2d + one /2 conv);
+        # every stride-32-checked input qualifies, odd probes fall back
+        packs = {}
+        if (self.packed_stem and _stem_packable(self.specs, self.save)
+                and x.ndim == 4 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+            packs = {0: "stem0", 1: "stem1"}
         for spec in self.specs:
             if len(spec.frm) == 1:
                 inp = out if spec.frm[0] == -1 else saved[spec.frm[0]]
@@ -286,7 +328,8 @@ class YOLOGraph(nn.Module):
                     inp = mod(inp, train)
                 out = inp
             else:
-                mod = _build_module(spec, self.fused, self.dtype, f"layers_{spec.i}")
+                mod = _build_module(spec, self.fused, self.dtype,
+                                    f"layers_{spec.i}", pack=packs.get(spec.i, ""))
                 out = mod(inp, train)
             if spec.i in self.save:
                 saved[spec.i] = out
@@ -374,7 +417,7 @@ class DetectionModel:
     head_type = "Detect"
 
     def __init__(self, cfg="yolov5s", ch=3, nc=None, anchors=None,
-                 dtype=jnp.float32, fused=False, seed=0):
+                 dtype=jnp.float32, fused=False, seed=0, packed_stem=None):
         self.cfg = load_config(cfg)
         if nc is not None and nc != self.cfg.get("nc"):
             self.cfg["nc"] = nc
@@ -384,7 +427,10 @@ class DetectionModel:
         self.dtype = dtype
         self.fused = fused
         self.specs, self.save, self.ch = parse_graph(self.cfg, ch)
-        self.module = YOLOGraph(tuple(self.specs), self.save, fused=fused, dtype=dtype)
+        if packed_stem is None:
+            packed_stem = _packed_stem_default()
+        self.module = YOLOGraph(tuple(self.specs), self.save, fused=fused,
+                                dtype=dtype, packed_stem=packed_stem)
         self.head_spec = self.specs[-1]
 
         # init params at a small size (param shapes don't depend on H/W), then
@@ -447,7 +493,7 @@ class ClassificationModel:
     head_type = "Classify"
 
     def __init__(self, cfg="yolov5s", nc=1000, cutoff=10, ch=3,
-                 dtype=jnp.float32, fused=False, seed=0):
+                 dtype=jnp.float32, fused=False, seed=0, packed_stem=None):
         base_cfg = load_config(cfg)
         self.nc = nc
         self.dtype = dtype
@@ -458,7 +504,10 @@ class ClassificationModel:
         specs.append(head)
         save = tuple(s for s in save if s < cutoff)
         self.specs, self.save = specs, save
-        self.module = YOLOGraph(tuple(specs), save, fused=fused, dtype=dtype)
+        if packed_stem is None:
+            packed_stem = _packed_stem_default()
+        self.module = YOLOGraph(tuple(specs), save, fused=fused, dtype=dtype,
+                                packed_stem=packed_stem)
         self.variables = _eager_init(self.module, seed, ch, dtype)
         self.stride = (32,)
         self.names = {i: f"class{i}" for i in range(nc)}
