@@ -551,3 +551,92 @@ def test_construct_clearml_dataset(monkeypatch, tmp_path):
 
     with _pytest.raises(ValueError):
         construct_clearml_dataset("clearml://abc123")
+
+
+def test_hpo_local_sampler_and_sweep(tmp_path):
+    """Local HPO driver (reference comet hpo.py analog): the sampler
+    respects domains, grid enumerates the product, and run_sweep merges
+    params into hyps, applies epochs/batch_size overrides, writes hpo.csv
+    and picks the best trial."""
+    from yolov5_tpu.train.hpo import run_sweep, sample_parameters
+
+    config = {
+        "algorithm": "random",
+        "spec": {"metric": "fitness", "objective": "maximize", "maxCombo": 6},
+        "parameters": {
+            "lr0": {"type": "float", "min": 0.001, "max": 0.1},
+            "box": {"type": "discrete", "values": [0.02, 0.2]},
+            "epochs": {"type": "discrete", "values": [3]},
+            "batch_size": {"type": "discrete", "values": [8]},
+        },
+    }
+    draws = list(sample_parameters(config, seed=0))
+    assert len(draws) == 6
+    assert all(0.001 <= p["lr0"] <= 0.1 for p in draws)
+    assert all(p["box"] in (0.02, 0.2) for p in draws)
+    # deterministic under the same seed
+    assert draws == list(sample_parameters(config, seed=0))
+
+    grid = list(sample_parameters({
+        "algorithm": "grid",
+        "parameters": {"a": {"values": [1, 2]}, "b": {"values": [10, 20, 30]}},
+    }))
+    assert len(grid) == 6 and {(g["a"], g["b"]) for g in grid} == {
+        (a, b) for a in (1, 2) for b in (10, 20, 30)}
+
+    calls = []
+
+    def fake_train(data, cfg, hyp, epochs, batch_size, imgsz, save_dir,
+                   nosave):
+        calls.append({"hyp": dict(hyp), "epochs": epochs,
+                      "batch_size": batch_size})
+        return 0.1 * len(calls), {"fitness": 0.1 * len(calls)}, None
+
+    best_params, best_obj = run_sweep(
+        data="d.yaml", sweep=config, cfg="yolov5n", epochs=99, batch_size=99,
+        save_dir=tmp_path / "hpo", train_fn=fake_train)
+    assert len(calls) == 6
+    # sweep's epochs/batch_size override the CLI defaults (reference
+    # comet hpo.py run() pops exactly these)
+    assert all(c["epochs"] == 3 and c["batch_size"] == 8 for c in calls)
+    # sampled values land in the hyp dict, not in opt
+    assert all("lr0" in c["hyp"] and "epochs" not in c["hyp"] for c in calls)
+    assert best_obj == pytest.approx(0.6)  # last trial scored highest
+    lines = (tmp_path / "hpo" / "hpo.csv").read_text().splitlines()
+    assert len(lines) == 7 and lines[0].startswith("trial,fitness")
+    assert (tmp_path / "hpo" / "hyp_hpo.yaml").exists()
+
+
+def test_hpo_comet_backend_with_fake_sdk(monkeypatch, tmp_path):
+    """--backend comet sources parameter sets from comet_ml.Optimizer
+    (reference hpo.py:104-119) instead of the local sampler."""
+    import sys
+    import types
+
+    from yolov5_tpu.train.hpo import run_sweep
+
+    served = [{"parameters": {"lr0": 0.01, "epochs": 2}},
+              {"parameters": {"lr0": 0.05, "epochs": 2}}]
+
+    class _Optimizer:
+        def __init__(self, cfg):
+            self.cfg = cfg
+            self.id = "opt123"
+
+        def get_parameters(self):
+            yield from served
+
+    comet = types.ModuleType("comet_ml")
+    comet.Optimizer = _Optimizer
+    monkeypatch.setitem(sys.modules, "comet_ml", comet)
+
+    seen = []
+
+    def fake_train(data, cfg, hyp, epochs, batch_size, imgsz, save_dir,
+                   nosave):
+        seen.append((hyp["lr0"], epochs))
+        return 0.5, {"fitness": 0.5}, None
+
+    run_sweep(data="d.yaml", sweep={"parameters": {"lr0": {"values": [0]}}},
+              save_dir=tmp_path / "hpo", backend="comet", train_fn=fake_train)
+    assert seen == [(0.01, 2), (0.05, 2)]
