@@ -377,3 +377,44 @@ def test_packed_stem_pattern_gate():
     det_p = DetectionModel("yolov5n", packed_stem=True)
     m = det_p.apply(det_p.variables, jnp.zeros((1, 96, 96, 3)), train=False)
     assert m[0].shape == (1, 12, 12, 3, 85)
+
+
+def test_packed_input_5d():
+    """A pipeline-packed 5D (B,H/2,W/2,4,C) input (layers.pack_s2d) must
+    produce bit-identical outputs: consumed in place by the packed stem,
+    unpacked transparently by a non-packed model (safety fallback)."""
+    from yolov5_tpu.models.layers import pack_s2d, unpack_s2d
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    assert np.array_equal(unpack_s2d(pack_s2d(x)), x)
+
+    packed = DetectionModel("yolov5n", packed_stem=True)
+    y4 = packed.apply(packed.variables, jnp.asarray(x), train=False)
+    y5 = packed.apply(packed.variables, jnp.asarray(pack_s2d(x)), train=False)
+    for a, b in zip(jax.tree.leaves(y4), jax.tree.leaves(y5)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    plain = DetectionModel("yolov5n", packed_stem=False)
+    z4 = plain.apply(plain.variables, jnp.asarray(x), train=False)
+    z5 = plain.apply(plain.variables, jnp.asarray(pack_s2d(x)), train=False)
+    for a, b in zip(jax.tree.leaves(z4), jax.tree.leaves(z5)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert packed.wants_packed_input(96, 96)
+    assert not packed.wants_packed_input(96, 98)
+    assert not plain.wants_packed_input(96, 96)
+
+
+def test_native_pack_s2d_matches_numpy():
+    from yolov5_tpu import native
+    from yolov5_tpu.models.layers import pack_s2d
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    x = np.random.default_rng(0).integers(
+        0, 255, (3, 64, 96, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(native.pack_s2d_u8(x),
+                                  np.ascontiguousarray(pack_s2d(x)))

@@ -97,6 +97,23 @@ def _space_to_depth2(x):
             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c))
 
 
+def pack_s2d(images):
+    """(B, H, W, C) -> (B, H/2, W/2, 4, C) phase-packed view for the packed
+    stem (same phase order as _space_to_depth2, kept 5D as an unambiguous
+    "already packed" marker). Works on numpy (host pipeline, where the
+    transpose overlaps the device step) and jnp arrays alike."""
+    b, h, w, c = images.shape
+    return (images.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4, c))
+
+
+def unpack_s2d(packed):
+    """Inverse of pack_s2d: (B, H/2, W/2, 4, C) -> (B, H, W, C)."""
+    b, h2, w2, _, c = packed.shape
+    return (packed.reshape(b, h2, w2, 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h2, 2 * w2, c))
+
+
 @functools.lru_cache(maxsize=None)
 def _stem_pack_maps():
     """Constant 0/1 routing tensors that re-express the yolov5 stem pair
@@ -166,13 +183,22 @@ class Conv(nn.Module):
         param tree the plain path would."""
         m0, m1 = _stem_pack_maps()
         if self.pack == "stem0":
+            # a 5D (B, H/2, W/2, 4, C) input is pre-packed by the data
+            # pipeline (pack_s2d): the in-graph transpose — ~4 ms/step of
+            # pure layout copies at 640 b32 since the image is a parameter
+            # XLA can't fuse into — collapses to a free contiguous reshape
+            packed_in = x.ndim == 5
             ci = x.shape[-1]
             kernel, bias = _ConvParams(self.c2, (self.k, self.k, ci),
                                        use_bias=self.fused, name="conv")()
             kp = jnp.einsum("abtupq,abio->tupiqo", jnp.asarray(m0, self.dtype),
                             kernel.astype(self.dtype))
             kp = kp.reshape(4, 4, 4 * ci, 4 * self.c2)
-            xp = _space_to_depth2(x.astype(self.dtype))
+            if packed_in:
+                b, h2, w2, _, c = x.shape
+                xp = x.astype(self.dtype).reshape(b, h2, w2, 4 * c)
+            else:
+                xp = _space_to_depth2(x.astype(self.dtype))
             # asymmetric padding goes through jnp.pad: conv_general_dilated
             # with uneven pads stalls the tunneled TPU backend
             xp = jnp.pad(xp, ((0, 0), (1, 2), (1, 2), (0, 0)))

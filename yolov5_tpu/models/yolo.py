@@ -312,11 +312,19 @@ class YOLOGraph(nn.Module):
         saved = {}
         out = x
         # packed stem needs H, W divisible by 4 (one s2d + one /2 conv);
-        # every stride-32-checked input qualifies, odd probes fall back
+        # every stride-32-checked input qualifies, odd probes fall back.
+        # A 5D (B, H/2, W/2, 4, C) input was s2d-packed by the pipeline
+        # (layers.pack_s2d) — consumed in place by stem0 when the stem is
+        # packable, unpacked back to canonical otherwise.
         packs = {}
         if (self.packed_stem and _stem_packable(self.specs, self.save)
-                and x.ndim == 4 and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0):
+                and ((x.ndim == 4 and x.shape[1] % 4 == 0
+                      and x.shape[2] % 4 == 0)
+                     or (x.ndim == 5 and x.shape[1] % 2 == 0
+                         and x.shape[2] % 2 == 0))):
             packs = {0: "stem0", 1: "stem1"}
+        elif x.ndim == 5:
+            out = x = L.unpack_s2d(x)
         for spec in self.specs:
             if len(spec.frm) == 1:
                 inp = out if spec.frm[0] == -1 else saved[spec.frm[0]]
@@ -467,6 +475,16 @@ class DetectionModel:
 
     def apply(self, variables, x, train=False, **kw):
         return self.module.apply(variables, x, train=train, **kw)
+
+    def wants_packed_input(self, h, w):
+        """True when the input pipeline should pre-pack (B,H,W,C) images to
+        the 5D s2d form (layers.pack_s2d): the packed stem then consumes
+        them with zero in-graph layout copies (~4 ms/step @640 b32). Safe
+        to call blindly — feeding packed input when this is False still
+        computes correctly (YOLOGraph unpacks), it just pays the transpose."""
+        return (self.module.packed_stem
+                and _stem_packable(self.specs, self.save)
+                and h % 4 == 0 and w % 4 == 0)
 
     def decode(self, raw_maps, dtype=None):
         """Raw head maps -> (bs, N, no) decoded predictions. Score channels

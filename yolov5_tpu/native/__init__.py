@@ -36,6 +36,10 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.pack_s2d_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.native_version.restype = ctypes.c_int
         _LIB = lib
     return _LIB
@@ -68,3 +72,18 @@ def decode_letterbox_batch(paths, size, scaleup=True):
         oks.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
     return out, hws, oks.astype(bool)
+
+
+def pack_s2d_u8(images):
+    """(n, h, w, c) uint8 contiguous -> (n, h/2, w/2, 4, c) s2d-packed
+    (same phase order as models/layers.pack_s2d), at memcpy speed."""
+    lib = load()
+    n, h, w, c = images.shape
+    assert images.dtype == np.uint8 and images.flags.c_contiguous
+    out = np.empty((n, h // 2, w // 2, 4, c), np.uint8)
+    lib.pack_s2d_u8(
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, c,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

@@ -136,6 +136,33 @@ void decode_letterbox_batch(const char** paths, int n, uint8_t* out, int size,
   }
 }
 
+// Space-to-depth pack for the TPU packed stem (models/layers.pack_s2d):
+// (n, h, w, c) uint8 -> (n, h/2, w/2, 4, c), packed dim = (dy, dx)
+// row-major. Pure byte shuffle: each output pixel is two 2c-byte runs
+// copied from adjacent input rows. OpenMP over (image, row) pairs —
+// numpy needs ~47 ms for b32@640x3, this runs at memcpy speed.
+void pack_s2d_u8(const uint8_t* in, int n, int h, int w, int c,
+                 uint8_t* out) {
+  const int h2 = h / 2, w2 = w / 2;
+  const size_t in_img = size_t(h) * w * c;
+  const size_t out_img = size_t(h2) * w2 * 4 * c;
+  const size_t row2 = size_t(w) * c;  // one input row
+#pragma omp parallel for schedule(static) collapse(2)
+  for (int i = 0; i < n; ++i) {
+    for (int y = 0; y < h2; ++y) {
+      const uint8_t* r0 = in + in_img * i + row2 * (2 * y);
+      const uint8_t* r1 = r0 + row2;
+      uint8_t* o = out + out_img * i + size_t(y) * w2 * 4 * c;
+      const int run = 2 * c;  // (dx=0, dx=1) pair is contiguous in the row
+      for (int x = 0; x < w2; ++x) {
+        memcpy(o, r0 + size_t(x) * run, run);
+        memcpy(o + run, r1 + size_t(x) * run, run);
+        o += 2 * run;
+      }
+    }
+  }
+}
+
 int native_version() { return 1; }
 
 }  // extern "C"

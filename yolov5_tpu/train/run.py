@@ -395,6 +395,15 @@ def run(
                     batch["images"] = np.stack(
                         [cv2.resize(im, (t, t), interpolation=cv2.INTER_LINEAR)
                          for im in batch["images"]])
+                if not device_aug:
+                    im = batch["images"]
+                    # pre-pack in the prefetch worker (overlapped with the
+                    # device step): the packed stem consumes the 5D form with
+                    # zero in-graph layout copies (models/layers.pack_s2d)
+                    if im.ndim == 4 and model.wants_packed_input(*im.shape[1:3]):
+                        from yolov5_tpu.models.layers import pack_s2d
+
+                        batch["images"] = np.ascontiguousarray(pack_s2d(im))
                 return batch
 
             # double-buffered: host prep + H2D run 2 batches ahead of the step

@@ -187,6 +187,11 @@ class AutoLayoutStep:
             (state, batch))
         compiled = jitted.lower(*abstract).compile()
         fmt = compiled.input_formats[0][1]["images"]
+        # device_put silently ignores a Layout that pins `tiling` on this
+        # backend (axon, jax 0.9): re-request by major_to_minor only — the
+        # executable's tiling is the backend default for every shape seen
+        # here, so the dims are what matters
+        fmt = Format(Layout(fmt.layout.major_to_minor), fmt.sharding)
         return compiled, fmt
 
     def _key(self, batch):
@@ -221,8 +226,23 @@ class AutoLayoutStep:
         if entry is None:
             entry = self._cache[self._key(batch)] = self._compile(state, batch)
         compiled, fmt = entry
-        if getattr(imgs, "format", None) != fmt:
-            batch = dict(batch, images=jax.device_put(imgs, fmt))
+        if compiled is None:  # relayout refused earlier: plain path
+            return self._plain(state, batch)
+        cur = getattr(getattr(imgs, "format", None), "layout", None)
+        if cur is None or cur.major_to_minor != fmt.layout.major_to_minor:
+            imgs = jax.device_put(imgs, fmt)
+            if imgs.format.layout.major_to_minor != fmt.layout.major_to_minor:
+                # relayout silently refused (tunnel quirk): the AOT call
+                # would raise a layout mismatch — use the plain jitted path
+                # (XLA inserts the relayout copy itself) for this shape
+                import warnings
+
+                warnings.warn("device_put did not apply the step's preferred "
+                              "image layout; falling back to the plain jitted "
+                              "step for this batch shape")
+                self._cache[self._key(batch)] = (None, fmt)
+                return self._plain(state, batch)
+            batch = dict(batch, images=imgs)
         if self._data_spec is None:
             # AOT executables want committed jax.Arrays, not host numpy
             batch = {k: v if isinstance(v, jax.Array) else jnp.asarray(v)
