@@ -78,6 +78,10 @@ class COCOEvalLite:
         self.eval_imgs = None
         self.precision = None
         self.recall = None
+        # per-(image, category) IoU matrices, reused across the 4 area
+        # ranges (pycocotools likewise computes IoU once per img/cat —
+        # only the gt ignore-ordering changes with the range)
+        self._iou_cache = {}
 
     # -- per-image matching -------------------------------------------------
     def _evaluate_img(self, img_id, cat_id, arng):
@@ -102,24 +106,31 @@ class COCOEvalLite:
         g_ign = g_crowd | (g_area < arng[0]) | (g_area > arng[1])
         # ignored gts sort last so real matches are preferred
         g_order = np.argsort(g_ign, kind="mergesort")
+        g_crowd_nat = g_crowd  # native order, for the cached IoU compute
         g_crowd, g_ign = g_crowd[g_order], g_ign[g_order]
 
         d_scores = np.array([d["score"] for d in dts], np.float64)
         d_order = np.argsort(-d_scores, kind="mergesort")[:max_det]
         d_scores = d_scores[d_order]
-        if segm:
-            g_rles = [gts[i]["segmentation"] for i in g_order]
-            d_rles = [dts[i]["segmentation"] for i in d_order]
-            d_area = np.array([rle_area(r) for r in d_rles], np.float64)
-            ious = rle_iou(d_rles, g_rles, g_crowd)
-            G, D = len(g_rles), len(d_rles)
-        else:
-            g_boxes = g_boxes[g_order]
-            d_boxes = np.array(
-                [d["bbox"] for d in dts], np.float64).reshape(-1, 4)[d_order]
-            d_area = d_boxes[:, 2] * d_boxes[:, 3]
-            ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
-            G, D = len(g_boxes), len(d_boxes)
+        # the IoU matrix depends only on (image, category): compute it once
+        # in native gt order and re-index per area range (the expensive segm
+        # decode + dense matmul would otherwise run 4x redundantly)
+        cached = self._iou_cache.get((img_id, cat_id))
+        if cached is None:
+            if segm:
+                d_rles = [dts[i]["segmentation"] for i in d_order]
+                d_area = np.array([rle_area(r) for r in d_rles], np.float64)
+                ious_nat = rle_iou(d_rles, [g["segmentation"] for g in gts],
+                                   g_crowd_nat)
+            else:
+                d_boxes = np.array(
+                    [d["bbox"] for d in dts], np.float64).reshape(-1, 4)[d_order]
+                d_area = d_boxes[:, 2] * d_boxes[:, 3]
+                ious_nat = _iou_xywh(d_boxes, g_boxes, g_crowd_nat)
+            cached = self._iou_cache[(img_id, cat_id)] = (ious_nat, d_area)
+        ious_nat, d_area = cached
+        ious = ious_nat[:, g_order]
+        D, G = ious.shape
         gtm = np.zeros((T, G), np.int64) - 1
         dtm = np.zeros((T, D), np.int64) - 1
         dt_ig = np.zeros((T, D), bool)

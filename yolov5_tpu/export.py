@@ -322,7 +322,9 @@ def run(weights="", cfg="yolov5s", imgsz=640, batch_size=1,
         artifacts["onnx"] = export_onnx(forward, example,
                                         out_dir / f"{stem}.onnx", meta=meta)
     sm_dir = None
-    if "saved_model" in include or "tflite" in include:
+    # int8 tflite builds its own normalized-box saved_model below; only
+    # export the fp32 one when it is itself requested or fp32 tflite needs it
+    if "saved_model" in include or ("tflite" in include and not int8):
         sm_dir = export_saved_model(forward, example, out_dir / f"{stem}_saved_model")
         artifacts["saved_model"] = sm_dir
         if sm_dir:

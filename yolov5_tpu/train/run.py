@@ -184,6 +184,7 @@ def run(
             val_batch_size=val_batch_size, freeze=freeze,
             multi_scale=multi_scale, image_weights=image_weights, cache=cache,
             noautoanchor=noautoanchor, device_aug=device_aug, quad=quad,
+            upload_dataset=upload_dataset,
         ).items()
     }
     hyp = load_hyp(hyp)

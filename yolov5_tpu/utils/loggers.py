@@ -52,7 +52,12 @@ def check_comet_resume(resume, project="runs/train"):
     by_name = {}
     for a in models:  # newest step wins for duplicate filenames
         by_name.setdefault(a["fileName"], a["assetId"])
-    asset_id = by_name.get(wanted) or (models[0]["assetId"] if models else None)
+    asset_id = by_name.get(wanted)
+    if asset_id is None and not res.query and models:
+        # only the default 'last.ckpt' may fall back to the newest asset; an
+        # explicitly ?query-named checkpoint must exist or the user would
+        # silently resume from a different one
+        asset_id = models[0]["assetId"]
     if asset_id is None:
         raise FileNotFoundError(
             f"comet resume: no checkpoint asset '{wanted}' in {resume}")
