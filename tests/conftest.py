@@ -37,7 +37,8 @@ SLOW = {
     "tests/test_device_aug.py": {
         "test_mosaic_in_batch_in_train_step", "test_mosaic_device_in_train_step"},
     "tests/test_api.py": {"test_detector_tta", "test_serve_handler",
-                          "test_export_formats_table"},
+                          "test_export_formats_table",
+                          "test_val_speed_and_study_tasks"},
     "tests/test_onnx.py": {"test_leaky_relu_variant_export",
                            "test_cv2_dnn_backend_matches_mini_runtime",
                            "test_detect_export_matches_jax",

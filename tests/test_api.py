@@ -146,6 +146,36 @@ def test_coco_json_output(tmp_path, rng):
         assert len(rows[0]["bbox"]) == 4
 
 
+def test_val_speed_and_study_tasks(tmp_path, rng):
+    """--task speed / --task study protocols (reference val.py:450,474-528)."""
+    import yaml
+
+    from yolov5_tpu.data.synthetic import generate_shapes_dataset
+    from yolov5_tpu.eval.evaluator import run_speed, run_study
+
+    cfg = generate_shapes_dataset(tmp_path / "d", n_images=4, img_size=64,
+                                  seed=0)
+    cfg["nc"] = 3
+    data = tmp_path / "d.yaml"
+    data.write_text(yaml.safe_dump(
+        {k: str(v) for k, v in cfg.items() if k != "names"}
+        | {"names": cfg["names"], "nc": 3}))
+
+    res = run_speed(str(data), cfg=TINY, imgsz=64, verbose=False, workers=1,
+                    rect=False)
+    assert res["speed_total_ms"] > 0 and "map" in res
+
+    out = run_study(str(data), cfg=TINY, imgsz_range=(32, 64, 32),
+                    batch_size=2, project=str(tmp_path), name="study",
+                    verbose=False, workers=1, rect=False)
+    assert len(out) == 2 and out[0]["imgsz"] == 32 and out[1]["imgsz"] == 64
+    txts = list((tmp_path / "study").glob("study_*.txt"))
+    assert len(txts) == 1
+    arr = np.loadtxt(txts[0], ndmin=2)
+    assert arr.shape == (2, 8)
+    assert (tmp_path / "study" / "study.png").exists()
+
+
 def test_results_api(tmp_path, rng):
     from PIL import Image
 

@@ -42,6 +42,126 @@ def test_rle_counts_string_golden():
         assert _string_to_counts(_counts_to_string(counts)) == counts
 
 
+def test_rle_codec_adversarial_values():
+    """Sign-extension / continuation boundaries of the base-32 packing:
+    every value near a 5-bit group edge and the 0x10 sign-bit edge must
+    round-trip, including deltas of exactly -16/-17 and counts >= 2^20."""
+    edges = sorted({0, 1, 15, 16, 17, 31, 32, 33, 511, 512, 1023, 1024,
+                    2**15 - 1, 2**15, 2**20 - 1, 2**20, 2**20 + 1,
+                    2**25, 2**31 - 1})
+    for v in edges:
+        assert _string_to_counts(_counts_to_string([v])) == [v]
+        # delta encoding engages from index 3: force a negative delta of
+        # (w - v) and a positive one of (v - w) around every edge pair
+        for w_ in (0, 1, 16, 17, v, v + 16, v + 17):
+            counts = [3, w_, 5, v, 2, w_]
+            assert _string_to_counts(_counts_to_string(counts)) == counts
+
+
+def test_rle_huge_runs_roundtrip():
+    """counts >= 2^20: a (1200, 1100) mask is 1.32M px — single runs exceed
+    the 4-char packing boundary (2^20)."""
+    h, w = 1200, 1100
+    m = np.zeros((h, w), np.uint8)
+    m[:, 600:] = 1  # one background run of 720000, one fg run of 600000
+    rle = mask_to_rle(m)
+    assert _string_to_counts(rle["counts"]) == [600 * h, 500 * h]
+    np.testing.assert_array_equal(rle_to_mask(rle), m)
+    assert rle_area(rle) == 500 * h
+
+
+def test_rle_alternating_and_degenerate_shapes():
+    rng = np.random.default_rng(3)
+    # long alternating 1-px runs (delta encoding sees long 0-delta chains)
+    m = np.zeros((257, 3), np.uint8)
+    m[::2] = 1
+    np.testing.assert_array_equal(rle_to_mask(mask_to_rle(m)), m)
+    # width-1 column, height-1 row, empty, full
+    for shape in ((513, 1), (1, 513), (7, 7)):
+        for fill in (0, 1):
+            m = np.full(shape, fill, np.uint8)
+            rle = mask_to_rle(m)
+            np.testing.assert_array_equal(rle_to_mask(rle), m)
+            assert rle_area(rle) == fill * m.size
+        m = (rng.random(shape) > 0.5).astype(np.uint8)
+        np.testing.assert_array_equal(rle_to_mask(mask_to_rle(m)), m)
+
+
+def test_polygons_to_rle_matches_device_rasterizer():
+    """Property test: the host GT rasterization (polygons_to_rle, cv2
+    semantics) and the on-device rasterizer (ops/rasterize.py) agree on
+    random polygons — the two GT paths must supervise the same geometry.
+    The device path dilates boundaries by up to half a pixel by design, so
+    the gate is IoU, sized to the polygon's perimeter/area ratio."""
+    import jax.numpy as jnp
+
+    from yolov5_tpu.ops.rasterize import rasterize
+
+    def dilate1(m):
+        out = m.copy()
+        out[1:] |= m[:-1]
+        out[:-1] |= m[1:]
+        out[:, 1:] |= m[:, :-1]
+        out[:, :-1] |= m[:, 1:]
+        return out
+
+    rng = np.random.default_rng(7)
+    hm = wm = 64
+    ious = []
+    for _ in range(12):
+        k = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(8, 28, k)
+        cx, cy = rng.uniform(20, 44, 2)
+        # integer vertices: the host path rounds, the device path floors
+        # (each matching its own consumer's convention) — quantize first so
+        # the comparison isolates the FILL semantics, not the vertex cast
+        poly = np.floor(
+            np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], 1))
+        host = rle_to_mask(polygons_to_rle([poly], hm, wm)).astype(bool)
+        pad = np.zeros((1, 16, 2), np.float32)
+        pad[0, :k] = poly
+        dev = np.asarray(rasterize(jnp.asarray(pad),
+                                   jnp.asarray([k], np.int32), hm, wm))[0]
+        inter = (host & dev).sum()
+        union = (host | dev).sum()
+        assert union > 0
+        # the device path dilates boundaries by <= half a pixel by design,
+        # so it must never paint beyond host+1 px; cv2.fillPoly additionally
+        # draws the polygon OUTLINE, which at sub-pixel-thin spike tips
+        # leaves a few host-only pixels >1 px from the corner-sampled fill
+        assert not (dev & ~dilate1(host)).any(), "dev px beyond host+1"
+        spikes = int((host & ~dilate1(dev)).sum())
+        assert spikes <= 4, f"{spikes} host px beyond dev+1 (k={k})"
+        ious.append(inter / union)
+    assert np.mean(ious) > 0.85, f"mean IoU {np.mean(ious):.3f}"
+
+
+def test_cocoeval_segm_crowd_absorbs_extras():
+    """Crowd-segm protocol: a crowd GT is not counted in n_gt, can absorb
+    several detections, and those matches are ignored (neither TP nor FP) —
+    so one real matched det + two crowd-landing dets still give mAP 1.0."""
+    real = _rle_square(4, 4, 12)
+    crowd = _rle_square(30, 30, 30)
+    gt = [
+        {"image_id": 0, "category_id": 0, "segmentation": real},
+        {"image_id": 0, "category_id": 0, "segmentation": crowd, "iscrowd": 1},
+    ]
+    dt = [
+        {"image_id": 0, "category_id": 0, "segmentation": real, "score": 0.9},
+        {"image_id": 0, "category_id": 0,
+         "segmentation": _rle_square(32, 32, 20), "score": 0.8},
+        {"image_id": 0, "category_id": 0,
+         "segmentation": _rle_square(40, 36, 16), "score": 0.7},
+    ]
+    s = COCOEvalLite(gt, dt, iou_type="segm").evaluate().accumulate().summarize()
+    assert s["map"] == pytest.approx(1.0)
+    # control: without the crowd flag the extra dets are FPs and drag AP down
+    gt[1].pop("iscrowd")
+    s2 = COCOEvalLite(gt, dt, iou_type="segm").evaluate().accumulate().summarize()
+    assert s2["map"] < 1.0
+
+
 def test_rle_column_major_layout():
     # a single foreground pixel at (row 2, col 0) of a 4x3 mask:
     # Fortran scan hits it at position 2 -> counts [2, 1, 9]

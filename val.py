@@ -19,7 +19,15 @@ def parse_opt():
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
-    p.add_argument("--task", default="val", choices=["train", "val", "test"])
+    p.add_argument("--task", default="val",
+                   choices=["train", "val", "test", "speed", "study"],
+                   help="split to evaluate, or the reference benchmark "
+                        "protocols (val.py:450,474-528): speed = b1 conf "
+                        "0.25 iou 0.45 latency run; study = mAP-vs-latency "
+                        "sweep over imgsz 256..1536 step 128 + plot")
+    p.add_argument("--study-imgsz", type=int, nargs=3, default=(256, 1536, 128),
+                   metavar=("LO", "HI", "STEP"),
+                   help="--task study sweep range (reference: 256 1536 128)")
     p.add_argument("--single-cls", action="store_true")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--half", action="store_true")
@@ -54,19 +62,32 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from yolov5_tpu.eval.evaluator import run
+    from yolov5_tpu.eval.evaluator import run, run_speed, run_study
 
-    results = run(
-        data=opt.data, weights=opt.weights, cfg=opt.cfg, imgsz=opt.imgsz,
-        batch_size=opt.batch_size, conf_thres=opt.conf_thres,
-        iou_thres=opt.iou_thres, max_det=opt.max_det, task=opt.task,
-        single_cls=opt.single_cls, workers=opt.workers, half=opt.half,
-        save_json=opt.save_json, rect=opt.rect, native_space=opt.native_space,
-        augment=opt.augment, save_txt=opt.save_txt, save_conf=opt.save_conf,
-        save_hybrid=opt.save_hybrid, verbose=opt.verbose,
-        project=opt.project, name=opt.name, exist_ok=opt.exist_ok,
-        dnn=opt.dnn,
+    common = dict(
+        data=opt.data, weights=opt.weights, cfg=opt.cfg,
+        max_det=opt.max_det, single_cls=opt.single_cls, workers=opt.workers,
+        half=opt.half, rect=opt.rect, native_space=opt.native_space,
+        verbose=opt.verbose, dnn=opt.dnn,
     )
+    if opt.task == "speed":
+        results = run_speed(batch_size=opt.batch_size, imgsz=opt.imgsz,
+                            **common)
+    elif opt.task == "study":
+        results = run_study(imgsz_range=tuple(opt.study_imgsz),
+                            batch_size=opt.batch_size,
+                            conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
+                            project=opt.project, name=opt.name, **common)
+        results = results[-1]  # print the largest-size row below
+    else:
+        results = run(
+            imgsz=opt.imgsz, batch_size=opt.batch_size,
+            conf_thres=opt.conf_thres, iou_thres=opt.iou_thres, task=opt.task,
+            save_json=opt.save_json, augment=opt.augment,
+            save_txt=opt.save_txt, save_conf=opt.save_conf,
+            save_hybrid=opt.save_hybrid, project=opt.project, name=opt.name,
+            exist_ok=opt.exist_ok, **common,
+        )
     print(json.dumps({k: v for k, v in results.items() if k != "per_class"}))
 
 

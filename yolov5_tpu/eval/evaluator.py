@@ -332,3 +332,63 @@ def run(data, weights="", cfg="yolov5s", imgsz=640, batch_size=32,
     if save_txt_dir is not None:
         results["save_dir"] = str(save_txt_dir.parent)
     return results
+
+
+def run_speed(data, weights="", batch_size=1, conf_thres=0.25, iou_thres=0.45,
+              **kwargs):
+    """``--task speed`` (reference val.py:450): the published speed-table
+    protocol — batch 1, conf 0.25, iou 0.45, no JSON scoring. Prints the
+    steady-state ms/img split (forward / NMS / host postprocess; the
+    compile-paying first batch is dropped by `evaluate`) and returns the
+    results dict."""
+    kwargs.pop("save_json", None)
+    res = run(data, weights=weights, batch_size=batch_size,
+              conf_thres=conf_thres, iou_thres=iou_thres, save_json=None,
+              **kwargs)
+    s = res["speed_ms"]
+    total = s["forward"] + s["nms"] + s["host"]
+    print(f"speed: {s['forward']:.1f} ms forward, {s['nms']:.1f} ms NMS, "
+          f"{s['host']:.1f} ms host per image at batch {batch_size} "
+          f"({total:.1f} ms total)")
+    res["speed_total_ms"] = total
+    return res
+
+
+def run_study(data, weights="", imgsz_range=(256, 1536, 128), project="runs/val",
+              name="study", exist_ok=True, **kwargs):
+    """``--task study`` (reference val.py:474-528): mAP-vs-latency sweep over
+    image sizes 256..1536 step 128. Writes ``study_{data}_{weights}.txt``
+    (one row per size: imgsz, P, R, mAP50, mAP50-95, fwd/nms/host ms) next to
+    a ``study.png`` speed-accuracy curve, mirroring the reference's
+    ``plot_val_study``. Returns the list of per-size result dicts."""
+    from yolov5_tpu.utils.general import increment_path
+
+    lo, hi, step = imgsz_range
+    sizes = list(range(lo, hi + step, step))
+    save_dir = increment_path(Path(project) / name, exist_ok=exist_ok,
+                              mkdir=True)
+    stem_d = Path(str(data)).stem
+    cfgv = kwargs.get("cfg", "")
+    stem_w = (Path(str(weights)).stem if weights
+              else (cfgv if isinstance(cfgv, str) else "cfg"))
+    out_txt = save_dir / f"study_{stem_d}_{stem_w}.txt"
+    rows, results = [], []
+    kwargs.pop("save_json", None)
+    for s in sizes:
+        res = run(data, weights=weights, imgsz=s, save_json=None, **kwargs)
+        sp = res["speed_ms"]
+        rows.append([s, res["mp"], res["mr"], res["map50"], res["map"],
+                     sp["forward"], sp["nms"], sp["host"]])
+        results.append(dict(res, imgsz=s))
+        print(f"study @{s}: mAP50-95 {res['map']:.4f}  "
+              f"{sp['forward'] + sp['nms']:.1f} ms/img device")
+    np.savetxt(out_txt, np.array(rows), fmt="%10.4g",
+               header="imgsz P R mAP50 mAP50-95 fwd_ms nms_ms host_ms")
+    try:
+        from yolov5_tpu.utils.plots import plot_study
+
+        plot_study([out_txt], save_dir / "study.png")
+    except Exception as e:  # plotting must never kill the sweep
+        print(f"study plot failed: {e}")
+    print(f"study saved to {out_txt}")
+    return results

@@ -63,6 +63,31 @@ def plot_results(csv_path, out=None):
 
 
 @soft_fail
+def plot_study(txt_files, out="study.png"):
+    """study_*.txt rows (imgsz, P, R, mAP50, mAP50-95, fwd_ms, nms_ms,
+    host_ms) -> speed-accuracy curve (reference utils/plots.py
+    plot_val_study: mAP50-95 vs device latency, one line per weights,
+    annotated with the image size at each point)."""
+    plt = _plt()
+    fig, ax = plt.subplots(1, 1, figsize=(8, 5))
+    for f in txt_files:
+        y = np.loadtxt(f, ndmin=2)
+        lat = y[:, 5] + y[:, 6]  # forward + NMS ms/img
+        ax.plot(lat, y[:, 4], marker=".", linewidth=2, markersize=8,
+                label=Path(f).stem.replace("study_", ""))
+        for xi, yi, s in zip(lat, y[:, 4], y[:, 0]):
+            ax.annotate(f"{int(s)}", (xi, yi), fontsize=7,
+                        textcoords="offset points", xytext=(4, 4))
+    ax.set_xlabel("latency ms/img (forward + NMS)")
+    ax.set_ylabel("mAP50-95")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
+@soft_fail
 def plot_evolve(evolve_csv):
     """evolve.csv -> evolve.png: per-hyperparameter scatter of value vs
     fitness with the best generation marked (reference utils/plots.py:247
