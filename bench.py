@@ -55,7 +55,15 @@ def _train_step_time(batch, imgsz, k_lo=5, k_hi=15):
 
     rng = np.random.default_rng(0)
     m = 32  # labels per image
-    images = jnp.asarray(rng.uniform(0, 1, (batch, imgsz, imgsz, 3)), jnp.bfloat16)
+    imgs_np = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    if model.wants_packed_input(imgsz, imgsz):
+        # steady-state input pipeline: the prefetch worker pre-packs batches
+        # to the 5D s2d form (train/run.py host_prep), deleting the ~4 ms
+        # in-graph fold transpose the packed stem otherwise pays
+        from yolov5_tpu.models.layers import pack_s2d
+
+        imgs_np = np.ascontiguousarray(pack_s2d(imgs_np))
+    images = jnp.asarray(imgs_np, jnp.bfloat16)
     cls = rng.integers(0, model.nc, (batch, m, 1))
     cxy = rng.uniform(0.2, 0.8, (batch, m, 2))
     wh = rng.uniform(0.05, 0.3, (batch, m, 2))

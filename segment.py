@@ -45,6 +45,9 @@ def main():
     t.add_argument("--label-smoothing", type=float, default=0.0)
     t.add_argument("--save-period", type=int, default=-1)
     t.add_argument("--noautoanchor", action="store_true")
+    t.add_argument("--multi-scale", action="store_true",
+                   help="per-batch 0.5-1.5x size over stride buckets "
+                        "(reference segment/train.py:371)")
     t.add_argument("--noplots", action="store_true")
     t.add_argument("--sync-bn", action="store_true",
                    help="accepted for reference CLI parity (always on under GSPMD)")
@@ -96,7 +99,7 @@ def main():
             resume=opt.resume, patience=opt.patience, freeze=opt.freeze or None,
             label_smoothing=opt.label_smoothing, save_period=opt.save_period,
             noautoanchor=opt.noautoanchor, noplots=opt.noplots,
-            sync_bn=opt.sync_bn)
+            sync_bn=opt.sync_bn, multi_scale=opt.multi_scale)
     elif opt.cmd == "val":
         from yolov5_tpu.data.dataset import create_loader
         from yolov5_tpu.train.run_segment import evaluate_segment

@@ -28,26 +28,33 @@ import pytest  # noqa: E402
 # (reference ci-testing.yml Tests job).
 SLOW = {
     "tests/test_multihost.py": None,  # whole module (2-process cluster)
+    "tests/test_p6.py": None,  # 1280px train+val e2e
     "tests/test_segment.py": {
         "test_segment_model_outputs",
         "test_seg_run_resume_e2e", "test_segment_loss_and_step",
         "test_segment_loss_no_masks_matches_detect",
         "test_segment_export_matches_jax"},
-    "tests/test_device_aug_seg.py": {"test_seg_device_cache_train_step"},
+    "tests/test_device_aug_seg.py": {"test_seg_device_cache_train_step",
+                                     "test_seg_device_multiscale_train_step"},
     "tests/test_device_aug.py": {
-        "test_mosaic_in_batch_in_train_step", "test_mosaic_device_in_train_step"},
+        "test_mosaic_in_batch_in_train_step", "test_mosaic_device_in_train_step",
+        "test_multiscale_device_mosaic_train_step"},
     "tests/test_api.py": {"test_detector_tta", "test_serve_handler",
                           "test_export_formats_table",
-                          "test_val_speed_and_study_tasks"},
+                          "test_val_speed_and_study_tasks",
+                          "test_tf_backend_detector"},
     "tests/test_onnx.py": {"test_leaky_relu_variant_export",
                            "test_cv2_dnn_backend_matches_mini_runtime",
                            "test_detect_export_matches_jax",
                            "test_segment_export_matches_jax"},
     "tests/test_resume.py": {
-        "test_ema_ticks_once_per_real_update",
+        "test_ema_ticks_once_per_real_update", "test_run_resume_e2e",
         "test_accumulate_ramp_and_ema_invariant", "test_opt_state_roundtrip"},
     "tests/test_model.py": {"test_detection_forward_and_decode", "test_classification_forward",
-                            "test_train_mode_updates_batch_stats"},
+                            "test_train_mode_updates_batch_stats",
+                            "test_packed_stem_matches_plain",
+                            "test_packed_stem_pattern_gate"},
+    "tests/test_stem_pallas.py": {"test_stem_kernel_matches_conv"},
     "tests/test_train_step.py": {"test_epoch_step_matches_per_batch_steps",
                                  "test_device_cache_step_multichip"},
     "tests/test_rasterize.py": {"test_matches_host_rasterizer"},

@@ -319,6 +319,86 @@ def test_mosaic_fused_matches_compose_then_warp(rng):
     np.testing.assert_allclose(tgt[b, 0, 2] * s, cy, atol=0.6)
 
 
+def test_mosaic_fused_out_size_matches_resized_oracle(rng):
+    """Multi-scale composed INTO the mosaic: mosaic_fused(out_size=q*s) must
+    equal composing the 2s canvas and warping with the q-scaled affine
+    (cv2 oracle) — i.e. the reference's mosaic-then-resize recipe in one
+    resample. Labels must be bit-identical to the base-size labels
+    (normalized coordinates are scale-invariant)."""
+    from yolov5_tpu.data.device_aug import mosaic_fused
+
+    s, out_s = 64, 48
+    bs = 2
+    images = np.full((bs, s, s, 3), 114, np.uint8)
+    hw = np.array([[48, 64], [64, 32]], np.int32)
+    for b in range(bs):
+        h, w = hw[b]
+        images[b, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    idx = np.array([[0, 1, 0, 1], [1, 0, 1, 0]], np.int32)
+    xc = np.array([70.0, 90.0], np.float32)
+    yc = np.array([90.0, 70.0], np.float32)
+    r = np.array([0.8, 1.2], np.float32)
+    t = np.array([[0.50 * s, 0.55 * s], [0.45 * s, 0.50 * s]], np.float32)
+    targets = np.zeros((bs, 4, 5), np.float32)
+    targets[:, 0] = [0, 0.5, 0.5, 0.5, 0.5]
+    valid = np.zeros((bs, 4), bool)
+    valid[:, 0] = True
+    hw4 = hw[idx].astype(np.float32)
+    args = (jnp.asarray(images), jnp.asarray(hw4), jnp.asarray(targets[idx]),
+            jnp.asarray(valid[idx]), jnp.asarray(idx), jnp.asarray(xc),
+            jnp.asarray(yc), jnp.asarray(r), jnp.asarray(t))
+    out0, tgt0, vld0 = jax.jit(mosaic_fused)(*args)
+    out, tgt, vld = jax.jit(
+        lambda *a: mosaic_fused(*a, out_size=out_s))(*args)
+    assert out.shape == (bs, out_s, out_s, 3)
+    np.testing.assert_array_equal(np.asarray(tgt), np.asarray(tgt0))
+    np.testing.assert_array_equal(np.asarray(vld), np.asarray(vld0))
+
+    q = out_s / s
+    for b in range(bs):
+        canvas = np.full((2 * s, 2 * s, 3), 114, np.uint8)
+        for k in range(4):
+            h, w = hw[idx[b, k]]
+            ox = {0: xc[b] - w, 1: xc[b], 2: xc[b] - w, 3: xc[b]}[k]
+            oy = {0: yc[b] - h, 1: yc[b] - h, 2: yc[b], 3: yc[b]}[k]
+            x1a, y1a = int(max(ox, 0)), int(max(oy, 0))
+            x2a = int(min(ox + w, 2 * s))
+            y2a = int(min(oy + h, 2 * s))
+            x1b, y1b = int(x1a - ox), int(y1a - oy)
+            canvas[y1a:y2a, x1a:x2a] = images[idx[b, k]][
+                y1b : y1b + (y2a - y1a), x1b : x1b + (x2a - x1a)]
+        M = q * np.array([[r[b], 0, t[b, 0] - r[b] * s],
+                          [0, r[b], t[b, 1] - r[b] * s]], np.float32)
+        ref = cv2.warpAffine(canvas, M, (out_s, out_s), flags=cv2.INTER_LINEAR,
+                             borderValue=(114, 114, 114))
+        diff = np.abs(np.asarray(out)[b].astype(np.int32) - ref.astype(np.int32))
+        assert np.mean(diff) < 1.0, np.mean(diff)
+        assert np.quantile(diff, 0.99) <= 3, np.quantile(diff, 0.99)
+
+
+def test_multiscale_epoch_plan():
+    """Stratified device multi-scale: fixed per-size batch counts across
+    epochs (no recompiles), full coverage, reshuffled assignment."""
+    from yolov5_tpu.train.run import multiscale_epoch_plan
+
+    sizes = [320, 480, 640, 800, 960]
+    idx_epoch = np.arange(17 * 4).reshape(17, 4)
+    rng1 = np.random.default_rng(0)
+    plan1 = list(multiscale_epoch_plan(idx_epoch, sizes, rng1))
+    plan2 = list(multiscale_epoch_plan(idx_epoch, sizes, rng1))
+    counts1 = {sz: len(sel) for sz, sel in plan1}
+    counts2 = {sz: len(sel) for sz, sel in plan2}
+    assert counts1 == counts2  # same shapes every epoch -> compile once
+    assert sum(counts1.values()) == 17
+    assert set(counts1.values()) <= {3, 4}  # 17 = 3*5 + 2 split evenly
+    rows1 = np.sort(np.concatenate([sel[:, 0] for _, sel in plan1]))
+    np.testing.assert_array_equal(rows1, idx_epoch[:, 0])  # full coverage
+    # assignment reshuffles between epochs
+    a1 = {sz: set(sel[:, 0].tolist()) for sz, sel in plan1}
+    a2 = {sz: set(sel[:, 0].tolist()) for sz, sel in plan2}
+    assert any(a1[sz] != a2[sz] for sz in a1)
+
+
 def test_mosaic_in_batch_in_train_step(rng):
     """Raw batches (images+hw) flow through the jitted train step with
     in-batch device mosaic and produce a finite loss."""
@@ -353,6 +433,44 @@ def test_mosaic_in_batch_in_train_step(rng):
     for _ in range(2):
         state, metrics = step(state, dict(batch))
     assert np.isfinite(float(metrics["total"]))
+
+
+def test_multiscale_device_mosaic_train_step(rng):
+    """--multi-scale composed with --device-aug mosaic: the jitted step
+    compiled at a bucket size != base emits that size internally and trains
+    with a finite loss (the full reference recipe in one program)."""
+    from tests.test_train_step import HYP, TINY_CFG
+    from yolov5_tpu.models import DetectionModel
+    from yolov5_tpu.train.loss import ComputeLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+
+    m = DetectionModel(TINY_CFG)
+    hyp = scale_hyp(HYP, nl=len(m.stride), nc=m.nc, imgsz=64)
+    aug_hyp = {**HYP, "mosaic": 1.0, "scale": 0.5, "translate": 0.1,
+               "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4}
+    loss_fn = ComputeLoss(m.anchors_per_stride, m.nc, hyp)
+    tx = build_optimizer(m.params, hyp, epochs=2, steps_per_epoch=4,
+                         batch_size=64)
+    bs, s, M = 4, 64, 8
+    images = np.full((bs, s, s, 3), 114, np.uint8)
+    hw = np.zeros((bs, 2), np.int32)
+    targets = np.zeros((bs, M, 5), np.float32)
+    valid = np.zeros((bs, M), bool)
+    for b in range(bs):
+        h, w = (48 + 16 * (b % 2), 64 - 8 * (b % 3))
+        images[b, :h, :w] = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        hw[b] = (h, w)
+        targets[b, 0] = [b % 3, 0.5, 0.5, 0.4, 0.4]
+        valid[b, 0] = True
+    batch = {"images": jnp.asarray(images), "hw": jnp.asarray(hw),
+             "targets": jnp.asarray(targets), "valid": jnp.asarray(valid)}
+    for ms in (32, 96):  # one down-bucket, one up-bucket
+        state = init_train_state(m, tx)
+        step = make_train_step(m, loss_fn, tx, device_aug_hyp=aug_hyp,
+                               ms_size=ms)
+        state, metrics = step(state, dict(batch))
+        assert np.isfinite(float(metrics["total"])), ms
 
 
 def test_mosaic_probability_plain_branch(rng):

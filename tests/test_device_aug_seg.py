@@ -127,6 +127,47 @@ def test_device_augment_seg_masks_match_labels():
             assert in_box.any(), "blob does not overlap its box"
 
 
+def test_seg_device_multiscale_train_step():
+    """Seg multi-scale (reference segment/train.py:371) composed with the
+    device mosaic: step compiled at a non-base bucket emits that size, GT
+    masks rasterize at the bucket's proto resolution, loss finite."""
+    from yolov5_tpu.models import SegmentationModel
+    from yolov5_tpu.parallel.mesh import make_mesh, replicate
+    from yolov5_tpu.train.loss import ComputeSegmentLoss
+    from yolov5_tpu.train.optim import build_optimizer
+    from yolov5_tpu.train.trainer import init_train_state, make_train_step, scale_hyp
+
+    s, ms, bs = 96, 64, 4
+    model = SegmentationModel("yolov5n-seg", nc=2)
+    hyp = scale_hyp(dict(HYP, lr0=0.01, lrf=0.01, momentum=0.9,
+                         weight_decay=0.0, warmup_epochs=0.0,
+                         warmup_momentum=0.9, warmup_bias_lr=0.0,
+                         box=0.05, cls=0.5, cls_pw=1.0, obj=1.0, obj_pw=1.0,
+                         anchor_t=4.0, fl_gamma=0.0),
+                    nl=len(model.stride), nc=2, imgsz=s)
+    loss_fn = ComputeSegmentLoss(model.anchors_per_stride, 2, hyp, overlap=True)
+    tx = build_optimizer(model.params, hyp, epochs=1, steps_per_epoch=4,
+                         batch_size=64)
+    state = init_train_state(model, tx)
+    mesh = make_mesh(1)
+    step = make_train_step(model, loss_fn, tx, mesh=mesh, has_masks=True,
+                           device_aug_hyp=hyp, device_cache=True,
+                           mask_shape=(ms // 4, ms // 4), overlap=True,
+                           ms_size=ms)
+
+    b = _batch(bs=8, s=s, seed=7)
+    cache = {"images": b["images"], "hw": b["hw"], "targets": b["targets"],
+             "valid": b["valid"],
+             "segments": b["segments"].astype(jnp.float16)}
+    with mesh:
+        state = replicate(state, mesh)
+        cache = replicate(cache, mesh)
+        idx = jnp.asarray(np.arange(bs, dtype=np.int32))
+        state, metrics = step(state, {"idx": idx}, cache)
+    assert np.isfinite(float(metrics["total"]))
+    assert float(metrics["seg"]) > 0
+
+
 def test_seg_device_cache_train_step():
     """Full device-cached seg train step on the CPU mesh: gather from cache,
     mosaic+aug+rasterize in-step, loss finite and decreasing-ish."""

@@ -146,7 +146,8 @@ def augment_hsv(images, key, hgain=0.015, sgain=0.7, vgain=0.4):
 # ---------------------------------------------------------------------------
 
 def _affine_matrices(key, bs, height, width, degrees, translate, scale, shear,
-                     perspective, out_height=None, out_width=None):
+                     perspective, out_height=None, out_width=None,
+                     post_scale=1.0):
     """Per-image composed C*P*R*S*T 3x3 matrices + their scale factors
     (same composition as data/augment.py random_perspective). When out_*
     differ from the input dims this reproduces the reference's mosaic
@@ -164,7 +165,7 @@ def _affine_matrices(key, bs, height, width, degrees, translate, scale, shear,
     P = P.at[:, 2, 1].set(u(ks[1], -perspective, perspective))
 
     a = u(ks[2], -degrees, degrees) * math.pi / 180.0
-    s = u(ks[3], 1 - scale, 1 + scale)
+    s = u(ks[3], 1 - scale, 1 + scale) * post_scale
     cos, sin = jnp.cos(a) * s, jnp.sin(a) * s
     R = jnp.tile(jnp.eye(3), (bs, 1, 1))
     R = R.at[:, 0, 0].set(cos).at[:, 0, 1].set(sin)
@@ -215,16 +216,24 @@ def affine_sample(image, M_inv, out_h, out_w, fill=114.0):
 
 
 def random_perspective(images, targets, valid, key, degrees=0.0, translate=0.1,
-                       scale=0.5, shear=0.0, perspective=0.0, out_hw=None):
+                       scale=0.5, shear=0.0, perspective=0.0, out_hw=None,
+                       post_scale=1.0):
     """Batched on-device warp. images (bs, h, w, 3) uint8; targets
     (bs, M, 5) [cls, x, y, w, h] normalized; valid (bs, M) bool.
     out_hw smaller than the input reproduces the mosaic border crop.
+    post_scale: extra deterministic zoom folded into the random scale — the
+    per-batch multi-scale resize (reference train.py:393-398) composed into
+    the same warp instead of a second bilinear pass. The >2 px candidate
+    thresholds then apply at the scaled resolution (slightly stricter for
+    q<1 than the reference's pre-resize filter; the area-ratio filter is
+    scale-invariant).
     Returns warped images + updated targets/valid (degenerate boxes masked,
     box_candidates semantics)."""
     bs, h, w, _ = images.shape
     oh, ow = out_hw if out_hw is not None else (h, w)
     M, s = _affine_matrices(key, bs, h, w, degrees, translate, scale, shear,
-                            perspective, out_height=oh, out_width=ow)
+                            perspective, out_height=oh, out_width=ow,
+                            post_scale=post_scale)
     M_inv = jnp.linalg.inv(M)
 
     imgs_f = images.astype(jnp.float32)
@@ -333,7 +342,7 @@ def _tile_origins(k, xc, yc, h, w):
 
 
 def mosaic_in_batch(images, hw, targets, valid, key, hyp, pool=None,
-                    self_idx=None):
+                    self_idx=None, out_size=None):
     """Fused on-device mosaic for raw batches.
 
     images: (bs, s, s, 3) uint8 — decoded images resized long-side=s, content
@@ -373,7 +382,8 @@ def mosaic_in_batch(images, hw, targets, valid, key, hyp, pool=None,
         # take the gather path
         tiles = images[idx.reshape(-1)].reshape(bs, 4, s, s, 3)
         return mosaic_device(tiles, hw4.astype(jnp.int32), targets4, valid4,
-                             jax.random.fold_in(key, 1), hyp)
+                             jax.random.fold_in(key, 1), hyp,
+                             out_size=out_size)
 
     # mosaic center on the 2s canvas (reference uniform over [s/2, 3s/2])
     c = jax.random.uniform(kc, (bs, 2), minval=0.5 * s, maxval=1.5 * s)
@@ -387,7 +397,8 @@ def mosaic_in_batch(images, hw, targets, valid, key, hyp, pool=None,
                            maxval=0.5 + translate) * s
     hw4, targets4, valid4, xc, yc = _apply_mosaic_prob(
         key, hyp, hw4, targets4, valid4, xc, yc, s)
-    return mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+    return mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t,
+                        out_size=out_size)
 
 
 def _apply_mosaic_prob(key, hyp, hw4, targets4, valid4, xc, yc, s):
@@ -413,24 +424,36 @@ def _apply_mosaic_prob(key, hyp, hw4, targets4, valid4, xc, yc, s):
     return hw4, targets4, valid4, xc, yc
 
 
-def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
+def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t,
+                 out_size=None):
     """Deterministic fused mosaic core (separable MXU path); randomness is
     drawn by the caller. `images` may be the batch or a whole-dataset pool —
-    tiles are gathered by `idx` (bs, 4). See mosaic_in_batch."""
-    bs, s = idx.shape[0], images.shape[1]
-    # inverse map: x_canvas = (x_out - Bx) / A with
-    A = r
-    Bx = t[:, 0] - r * s
-    By = t[:, 1] - r * s
+    tiles are gathered by `idx` (bs, 4). See mosaic_in_batch.
 
-    out = jnp.zeros((bs, s, s, 3), jnp.float32)
+    out_size (static int): emit the mosaic at a different resolution — the
+    per-batch multi-scale recipe (reference train.py:393-398 resizes the
+    augmented batch bilinearly). Here the resize is FREE: the scale factor
+    q = out_size/s folds into the resample-weight matrices, so multi-scale
+    composes with the mosaic in the same einsums (one bilinear pass, not
+    two). Labels are normalized, hence computed at base scale unchanged —
+    which also keeps the reference's box_candidates thresholds (>2 px) in
+    base-imgsz pixels exactly as the reference applies them pre-resize."""
+    bs, s = idx.shape[0], images.shape[1]
+    out_s = int(out_size) if out_size else s
+    q = out_s / s
+    # inverse map: x_canvas = (x_out - Bx) / A with
+    A = r * q
+    Bx = (t[:, 0] - r * s) * q
+    By = (t[:, 1] - r * s) * q
+
+    out = jnp.zeros((bs, out_s, out_s, 3), jnp.float32)
     mass_y = []
     mass_x = []
     for k in range(4):
         h_k, w_k = hw4[:, k, 0], hw4[:, k, 1]
         ox, oy = _tile_origins(k, xc, yc, h_k, w_k)
-        Wx = _axis_weights(A, Bx, w_k, ox, s, s, 2 * s)  # (bs, s_out, s_in)
-        Wy = _axis_weights(A, By, h_k, oy, s, s, 2 * s)
+        Wx = _axis_weights(A, Bx, w_k, ox, s, out_s, 2 * s)  # (bs, s_out, s_in)
+        Wy = _axis_weights(A, By, h_k, oy, s, out_s, 2 * s)
         Wy_bf = Wy.astype(jnp.bfloat16)
         Wx_bf = Wx.astype(jnp.bfloat16)
         # gather tiles first (idx may address a whole-dataset pool), then go
@@ -455,7 +478,12 @@ def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
     out = out + (1.0 - jnp.minimum(mass, 1.0))[..., None] * 114.0
     out = jnp.clip(out + 0.5, 0, 255).astype(jnp.uint8)
 
-    # labels: tile-content normalized -> canvas px -> output px -> normalized
+    # labels: tile-content normalized -> canvas px -> output px -> normalized.
+    # Computed with the UNSCALED (base-s) map: normalized coordinates are
+    # invariant to q, and the >2 px candidate filters stay in base pixels.
+    A = r
+    Bx = t[:, 0] - r * s
+    By = t[:, 1] - r * s
     labels = []
     valids = []
     for k in range(4):
@@ -491,7 +519,7 @@ def mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t):
     return out, jnp.concatenate(labels, 1), jnp.concatenate(valids, 1)
 
 
-def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp):
+def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp, out_size=None):
     """On-device 4-image mosaic (reference utils/dataloaders.py:798-855).
 
     tiles: (bs, 4, s, s, 3) uint8 — each decoded image resized long-side=s
@@ -569,12 +597,15 @@ def mosaic_device(tiles, tile_hw, targets4, valid4, key, hyp):
     targets = jnp.concatenate(labels, axis=1)  # (bs, 4M)
     valid = jnp.concatenate(valids, axis=1)
 
-    # warp/crop 2s -> s with the training geometry (reference border=-s/2)
+    # warp/crop 2s -> s with the training geometry (reference border=-s/2);
+    # out_size folds the per-batch multi-scale resize into the same warp
+    out_s = int(out_size) if out_size else s
     return random_perspective(
         canvas2, targets, valid, kw,
         degrees=hyp.get("degrees", 0.0), translate=hyp.get("translate", 0.1),
         scale=hyp.get("scale", 0.5), shear=hyp.get("shear", 0.0),
-        perspective=hyp.get("perspective", 0.0), out_hw=(s, s),
+        perspective=hyp.get("perspective", 0.0), out_hw=(out_s, out_s),
+        post_scale=out_s / s,
     )
 
 
@@ -612,7 +643,7 @@ def _segment_boxes(seg_px, ow, oh):
 
 
 def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
-                        pool=None, self_idx=None):
+                        pool=None, self_idx=None, out_size=None):
     """Segment-carrying mosaic (separable geometry only). Same partner
     sampling and randomness as mosaic_in_batch (incl. whole-dataset `pool`
     partner draws); segments (bs, M, V, 2) are polygon vertices normalized
@@ -656,8 +687,11 @@ def mosaic_in_batch_seg(images, hw, targets, segments, valid, key, hyp,
         key, hyp, hw4, targets4, valid4, xc, yc, s)
 
     # image composition: identical to the detect path (its box labels are
-    # recomputed below from the warped polygons)
-    out, _, _ = mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t)
+    # recomputed below from the warped polygons); out_size folds the
+    # multi-scale resize into the same resample — labels/segments are
+    # normalized, hence invariant to it
+    out, _, _ = mosaic_fused(images, hw4, targets4, valid4, idx, xc, yc, r, t,
+                             out_size=out_size)
     labels, segs_out, valids = _seg_mosaic_labels(
         seg4, hw4, targets4, valid4, xc, yc, r, t, s)
     return out, labels, segs_out, valids
@@ -755,17 +789,18 @@ def rasterize_batch_masks(segments, valid, hm, wm, overlap=True):
 
 
 def device_augment_seg(batch, key, hyp, mask_shape, overlap=True, pool=None,
-                       self_idx=None):
+                       self_idx=None, out_size=None):
     """Segment-aware on-device pipeline: mosaic (if raw batch) -> HSV ->
     flips -> GT-mask rasterization. batch needs images/targets/segments/
-    valid (+hw for the raw-mosaic path). Returns a batch with "masks"."""
+    valid (+hw for the raw-mosaic path). Returns a batch with "masks".
+    out_size: per-batch multi-scale (caller passes a matching mask_shape)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     images, targets = batch["images"], batch["targets"]
     segments, valid = batch["segments"], batch["valid"]
     if "hw" in batch and hyp.get("mosaic", 0) > 0:
         images, targets, segments, valid = mosaic_in_batch_seg(
             images, batch["hw"], targets, segments, valid, k1, hyp,
-            pool=pool, self_idx=self_idx)
+            pool=pool, self_idx=self_idx, out_size=out_size)
     if any(hyp.get(k, 0) for k in ("hsv_h", "hsv_s", "hsv_v")):
         images = augment_hsv(images, k2, hyp.get("hsv_h", 0.015),
                              hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))

@@ -57,6 +57,29 @@ def multiscale_sizes(imgsz, gs, n=None):
     return [int(k * gs) for k in ks]
 
 
+def multiscale_epoch_plan(idx_epoch, sizes, rng):
+    """Stratified per-batch sizes for the device-cached epoch path.
+
+    The whole-epoch lax.scan compiles per (batch-count, size); a naive iid
+    per-batch draw would give every epoch different per-size counts and
+    recompile forever. Instead each size gets a FIXED count (nb split as
+    evenly as possible, remainder pinned to the first sizes — a <=1-batch
+    per-epoch bias) and the batch->size assignment reshuffles per epoch.
+    Marginally each batch sees a ~uniform size draw like the reference
+    (train.py:393-398); exactly len(sizes) compiled programs.
+
+    Yields (size, idx_rows) pairs."""
+    nb = len(idx_epoch)
+    k = len(sizes)
+    order = rng.permutation(nb)
+    start = 0
+    for i, sz in enumerate(sizes):
+        n = nb // k + (1 if i < nb % k else 0)
+        if n:
+            yield int(sz), idx_epoch[order[start:start + n]]
+        start += n
+
+
 def find_resume_ckpt(resume, project="runs/train"):
     """Resolve --resume into a checkpoint path: True/'auto' -> most recent
     last.ckpt under `project`; a run dir -> its last.ckpt; else the path
@@ -292,10 +315,6 @@ def run(
     nb = len(train_loader)
     if nb == 0:
         raise ValueError(f"train loader is empty for {data_dict.get('train')}")
-    if multi_scale and device_mosaic:
-        raise ValueError(
-            "--multi-scale is not supported with --device-aug mosaic "
-            "(tile batches carry no 'images' to resize); drop one flag")
     if quad and device_aug:
         raise ValueError("--quad composes batches on the host; it is "
                          "redundant with --device-aug mosaic — drop one flag")
@@ -339,12 +358,25 @@ def run(
                   f"({need / 1e6:.0f} MB) resident in HBM")
 
     mesh = make_mesh(device_count)
+    ms_device = multi_scale and device_mosaic  # sizes drawn inside the step
+    epoch_step = epoch_steps = step_fn = step_fns = None
     if use_device_cache:
         from yolov5_tpu.train.trainer import make_epoch_step
 
-        epoch_step = make_epoch_step(model, loss_fn, tx, mesh,
-                                     device_aug_hyp=hyp if device_aug else None)
-        step_fn = None
+        if ms_device:
+            # one compiled epoch-scan per stride bucket; the fused mosaic
+            # emits its canvas at the bucket size directly (device_aug.py)
+            epoch_steps = {sz: make_epoch_step(model, loss_fn, tx, mesh,
+                                               device_aug_hyp=hyp, ms_size=sz)
+                           for sz in ms_sizes}
+        else:
+            epoch_step = make_epoch_step(
+                model, loss_fn, tx, mesh,
+                device_aug_hyp=hyp if device_aug else None)
+    elif ms_device:
+        step_fns = {sz: make_train_step(model, loss_fn, tx, mesh=mesh,
+                                        device_aug_hyp=hyp, ms_size=sz)
+                    for sz in ms_sizes}
     else:
         step_fn = make_train_step(model, loss_fn, tx, mesh=mesh,
                                   device_aug_hyp=hyp if device_aug else None)
@@ -387,8 +419,11 @@ def run(
                 batch = {k: batch[k] for k in batch_keys}
                 # per-batch multi-scale over the full reference 0.5-1.5x
                 # range (train.py:393-398), restricted to a bounded set of
-                # stride-aligned buckets so each size compiles exactly once
-                s_b = int(ms_rng.choice(ms_sizes)) if multi_scale else imgsz
+                # stride-aligned buckets so each size compiles exactly once.
+                # With device mosaic the resize happens INSIDE the step
+                # (ms_device), so the host ships the raw tiles untouched.
+                s_b = (int(ms_rng.choice(ms_sizes))
+                       if multi_scale and not ms_device else imgsz)
                 if s_b != imgsz:
                     import cv2
 
@@ -410,19 +445,32 @@ def run(
             # double-buffered: host prep + H2D run 2 batches ahead of the step
             if use_device_cache:
                 # whole epoch in ONE dispatch: scan over the index batches
-                # (the only per-step host work would be dispatch latency)
+                # (the only per-step host work would be dispatch latency);
+                # with multi-scale, one dispatch per stride bucket instead
                 from yolov5_tpu.data.device_cache import index_batches
 
                 idx_epoch = np.stack([b["idx"] for b in index_batches(train_loader)])
-                state, agg = epoch_step(state, jnp.asarray(idx_epoch), cache_dev)
+                if ms_device:
+                    agg = None
+                    for sz, sel in multiscale_epoch_plan(idx_epoch, ms_sizes,
+                                                         ms_rng):
+                        state, m = epoch_steps[sz](state, jnp.asarray(sel),
+                                                   cache_dev)
+                        agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
+                else:
+                    state, agg = epoch_step(state, jnp.asarray(idx_epoch), cache_dev)
                 for _ in range(len(idx_epoch)):
                     callbacks.run("on_train_batch_end")
             else:
-                stream = prefetch_to_mesh(iter(train_loader), mesh, depth=2,
-                                          transform=host_prep,
-                                          put=getattr(step_fn, "put", None))
+                stream = prefetch_to_mesh(
+                    iter(train_loader), mesh, depth=2, transform=host_prep,
+                    put=getattr(step_fn, "put", None) if step_fn else None)
                 for batch in stream:
-                    state, metrics = step_fn(state, batch)
+                    if step_fns is not None:  # per-batch size draw (ms_device)
+                        fn = step_fns[int(ms_rng.choice(ms_sizes))]
+                        state, metrics = fn(state, batch)
+                    else:
+                        state, metrics = step_fn(state, batch)
                     # accumulate on device: a float() here would force a full
                     # host sync every step (disastrous over a TPU tunnel)
                     agg = metrics if agg is None else jax.tree.map(jnp.add, agg, metrics)

@@ -259,7 +259,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         noval=False, save_dir=None, dtype="bfloat16", device_aug=False,
         cache=None, segments_v=32, weights="", resume="", patience=100,
         freeze=None, label_smoothing=0.0, save_period=-1, noautoanchor=False,
-        noplots=False, sync_bn=False, _resume_ckpt=None):
+        noplots=False, sync_bn=False, multi_scale=False, _resume_ckpt=None):
     """Train an instance-segmentation model. Returns (best_fitness, results, dir).
 
     Full training-feature surface of the reference segment/train.py (which
@@ -304,6 +304,7 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
             weights=weights, patience=patience, freeze=freeze,
             label_smoothing=label_smoothing, save_period=save_period,
             noautoanchor=noautoanchor, noplots=noplots,
+            multi_scale=multi_scale,
         ).items()
     }
     hyp = load_hyp(hyp)
@@ -387,6 +388,13 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
         )
 
     nb = len(train_loader)
+    ms_sizes, ms_rng = [], None
+    if multi_scale:
+        from yolov5_tpu.train.run import multiscale_sizes
+
+        ms_sizes = multiscale_sizes(imgsz, max(model.stride))
+        ms_rng = np.random.default_rng(seed + 0x5CA1E)
+        print(f"multi-scale: per-batch sizes {ms_sizes}")
     hyp_scaled = scale_hyp(hyp, nl=len(model.stride), nc=nc, imgsz=imgsz)
     loss_fn = ComputeSegmentLoss(model.anchors_per_stride, nc, hyp_scaled,
                                  nm=nm, overlap=overlap, seg_k=seg_k)
@@ -430,21 +438,31 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
     # diagnostic escape hatch: device cache + per-batch dispatch (no epoch
     # scan) — isolates data-pipeline effects from the scan when comparing
     no_scan = bool(os.environ.get("YOLOV5_TPU_NO_EPOCH_SCAN"))
+    epoch_step = epoch_steps = step_fn = None
     if use_device_cache and no_scan:
         step_fn = make_train_step(
             model, loss_fn, tx, mesh=mesh, has_masks=True, device_aug_hyp=hyp,
             device_cache=True,
             mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
             overlap=overlap)
-        epoch_step = None
     elif use_device_cache:
         from yolov5_tpu.train.trainer import make_epoch_step
 
-        epoch_step = make_epoch_step(
-            model, loss_fn, tx, mesh, has_masks=True, device_aug_hyp=hyp,
-            mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
-            overlap=overlap)
-        step_fn = None
+        if multi_scale:
+            # one compiled epoch-scan per stride bucket; GT masks rasterize
+            # at the bucket's proto resolution (reference segment/train.py
+            # :371 multi-scale + the loss's mask-to-proto downsample)
+            epoch_steps = {
+                sz: make_epoch_step(
+                    model, loss_fn, tx, mesh, has_masks=True,
+                    device_aug_hyp=hyp, overlap=overlap, ms_size=sz,
+                    mask_shape=(sz // mask_ratio, sz // mask_ratio))
+                for sz in ms_sizes}
+        else:
+            epoch_step = make_epoch_step(
+                model, loss_fn, tx, mesh, has_masks=True, device_aug_hyp=hyp,
+                mask_shape=(imgsz // mask_ratio, imgsz // mask_ratio),
+                overlap=overlap)
     else:
         step_fn = make_train_step(
             model, loss_fn, tx, mesh=mesh, has_masks=True,
@@ -475,14 +493,46 @@ def run(data, cfg="yolov5n-seg", hyp=None, epochs=100, batch_size=16,
                             jnp.add, agg, metrics)
                 else:
                     # one dispatch per epoch: scan over the index batches
+                    # (one per stride bucket under multi-scale)
                     idx_epoch = np.stack(
                         [b["idx"] for b in index_batches(train_loader)])
-                    state, agg = epoch_step(state, jnp.asarray(idx_epoch),
-                                            cache_dev)
+                    if multi_scale:
+                        from yolov5_tpu.train.run import multiscale_epoch_plan
+
+                        for sz, sel in multiscale_epoch_plan(
+                                idx_epoch, ms_sizes, ms_rng):
+                            state, m = epoch_steps[sz](
+                                state, jnp.asarray(sel), cache_dev)
+                            agg = m if agg is None else jax.tree.map(
+                                jnp.add, agg, m)
+                    else:
+                        state, agg = epoch_step(state, jnp.asarray(idx_epoch),
+                                                cache_dev)
             else:
+                def host_prep_seg(b):
+                    b = {k: b[k] for k in keys}
+                    if multi_scale:
+                        # reference segment/train.py:371: bilinear image
+                        # resize per batch; GT masks follow with the nearest
+                        # resample the reference loss applies to match proto
+                        s_b = int(ms_rng.choice(ms_sizes))
+                        if s_b != imgsz:
+                            import cv2
+
+                            b["images"] = np.stack([
+                                cv2.resize(im, (s_b, s_b),
+                                           interpolation=cv2.INTER_LINEAR)
+                                for im in b["images"]])
+                            mm = s_b // mask_ratio
+                            mk = b["masks"]
+                            yi = (np.arange(mm) * (mk.shape[-2] / mm)).astype(int)
+                            xi = (np.arange(mm) * (mk.shape[-1] / mm)).astype(int)
+                            b["masks"] = mk[..., yi[:, None], xi[None, :]]
+                    return b
+
                 for batch in prefetch_to_mesh(
                         iter(train_loader), mesh, depth=2,
-                        transform=lambda b: {k: b[k] for k in keys},
+                        transform=host_prep_seg,
                         put=getattr(step_fn, "put", None)):
                     state, metrics = step_fn(state, batch)
                     # device-side accumulation: no per-step host sync

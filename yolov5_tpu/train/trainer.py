@@ -57,9 +57,17 @@ def init_train_state(model, tx) -> TrainState:
 
 
 def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
-                   mask_shape=None, overlap=True):
+                   mask_shape=None, overlap=True, ms_size=None):
     """The raw (un-jitted) train-step body shared by make_train_step (one
-    dispatch per batch) and make_epoch_step (lax.scan over the epoch)."""
+    dispatch per batch) and make_epoch_step (lax.scan over the epoch).
+
+    ms_size (static int): per-batch multi-scale target size for the
+    device-aug path — the on-device mosaic emits its canvas at this
+    resolution directly (the resize folds into the mosaic's resample
+    einsums, data/device_aug.py mosaic_fused); the non-mosaic path resizes
+    after augmentation like the reference (train.py:393-398). One compiled
+    program per size; the driver draws the size per batch from the
+    stride-aligned bucket set."""
 
     def step_fn(state: TrainState, batch, cache=None):
         self_idx = None
@@ -77,7 +85,8 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
             key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             batch = device_augment_seg(batch, key, dict(device_aug_hyp),
                                        mask_shape, overlap=overlap,
-                                       pool=cache, self_idx=self_idx)
+                                       pool=cache, self_idx=self_idx,
+                                       out_size=ms_size)
         elif device_aug_hyp is not None:
             from yolov5_tpu.data.device_aug import (
                 device_augment,
@@ -96,15 +105,25 @@ def _build_step_fn(model, loss_fn, tx, has_masks=False, device_aug_hyp=None,
                     images, targets, valid = mosaic_in_batch(
                         batch["images"], batch["hw"], batch["targets"],
                         batch["valid"], k_mosaic, hyp2,
-                        pool=cache, self_idx=self_idx)
+                        pool=cache, self_idx=self_idx, out_size=ms_size)
                 else:  # explicit 4-tile batches
                     images, targets, valid = mosaic_device(
                         batch["tiles"], batch["tile_hw"], batch["targets4"],
-                        batch["valid4"], k_mosaic, hyp2)
+                        batch["valid4"], k_mosaic, hyp2, out_size=ms_size)
                 batch = {"images": images, "targets": targets, "valid": valid}
                 for k in ("degrees", "translate", "scale", "shear", "perspective"):
                     hyp2[k] = 0.0
             batch = device_augment(batch, k_aug, hyp2)
+            if ms_size is not None and batch["images"].shape[1] != ms_size:
+                # non-mosaic multi-scale: bilinear resize after augmentation
+                # (reference train.py:393-398 interpolates the loaded batch)
+                im = batch["images"]
+                rs = jax.image.resize(
+                    im.astype(jnp.float32),
+                    (im.shape[0], ms_size, ms_size, im.shape[3]), "linear")
+                if im.dtype == jnp.uint8:
+                    rs = jnp.clip(rs + 0.5, 0, 255)
+                batch = dict(batch, images=rs.astype(im.dtype))
         # normalize on device: uint8 batches cross PCIe/tunnel 4x smaller
         # (reference divides by 255 after H2D too, train.py:379)
         images = batch["images"]
@@ -252,7 +271,7 @@ class AutoLayoutStep:
 
 def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
                     device_aug_hyp=None, device_cache=False, mask_shape=None,
-                    overlap=True):
+                    overlap=True, ms_size=None):
     """Build the jitted train step.
 
     batch: {"images": (B,H,W,3) float, "targets": (B,M,5), "valid": (B,M)}
@@ -267,7 +286,8 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
     """
     step_fn = _build_step_fn(model, loss_fn, tx, has_masks=has_masks,
                              device_aug_hyp=device_aug_hyp,
-                             mask_shape=mask_shape, overlap=overlap)
+                             mask_shape=mask_shape, overlap=overlap,
+                             ms_size=ms_size)
 
     if mesh is None:
         if device_cache:
@@ -288,7 +308,8 @@ def make_train_step(model, loss_fn, tx, mesh=None, has_masks=False,
 
 
 def make_epoch_step(model, loss_fn, tx, mesh, has_masks=False,
-                    device_aug_hyp=None, mask_shape=None, overlap=True):
+                    device_aug_hyp=None, mask_shape=None, overlap=True,
+                    ms_size=None):
     """Whole-epoch train step for the device-cached path: lax.scan over the
     epoch's (nb, bs) index batches — ONE dispatch (and one host round trip)
     per EPOCH instead of per batch. On a tunneled or busy-host deployment
@@ -301,7 +322,8 @@ def make_epoch_step(model, loss_fn, tx, mesh, has_masks=False,
     """
     step_fn = _build_step_fn(model, loss_fn, tx, has_masks=has_masks,
                              device_aug_hyp=device_aug_hyp,
-                             mask_shape=mask_shape, overlap=overlap)
+                             mask_shape=mask_shape, overlap=overlap,
+                             ms_size=ms_size)
 
     def epoch_fn(state, idx_epoch, cache):
         def body(st, idx):
