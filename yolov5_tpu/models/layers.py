@@ -148,6 +148,39 @@ def _stem_pack_maps():
     return m0, m1
 
 
+@functools.lru_cache(maxsize=None)
+def _pack_maps(k: int, s: int):
+    """Routing tensor for a packed-in -> packed-out conv: re-expresses a
+    canonical kxk stride-s pad-k//2 conv as a conv over space-to-depth
+    coordinates (both input AND output stay phase-packed, unlike the stem
+    boundary maps above). Derivation: packed output pixel Q, out-phase dy
+    is canonical y = 2Q + dy, which reads canonical xi = s*y + ky - p =
+    2(sQ) + (s*dy + ky - p) -> packed input pixel sQ + floor(delta/2),
+    in-phase delta % 2, with delta = s*dy + ky - p. The packed conv runs
+    with the same stride s on the packed grid.
+
+    Returns (M[ky,kx,ty,tx,pi,po], (pad_lo, pad_hi)) with
+    K_packed[ty,tx,(pi,ci),(po,co)] = sum_{ky,kx} M * W[ky,kx,ci,co].
+    k=1 gives a 1x1 block-diagonal kernel (4C -> 4C' at full MXU lane
+    width vs the canonical C -> C' that pads C<128 lanes 4x)."""
+    p = k // 2
+    ds = [(s * dy + ky - p) // 2 for dy in range(2) for ky in range(k)]
+    dmin, dmax = min(ds), max(ds)
+    kp = dmax - dmin + 1
+    m = np.zeros((k, k, kp, kp, 4, 4), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for ky in range(k):
+                dly = s * dy + ky - p
+                ty, piy = dly // 2 - dmin, dly % 2
+                for kx in range(k):
+                    dlx = s * dx + kx - p
+                    tx, pix = dlx // 2 - dmin, dlx % 2
+                    m[ky, kx, ty, tx, piy * 2 + pix, dy * 2 + dx] = 1.0
+    # VALID output count (Hp + pads - kp)//s + 1 must equal Hp/s
+    return m, (-dmin, kp - s + dmin)
+
+
 class Conv(nn.Module):
     """Conv2d + BatchNorm + activation (reference models/common.py:74-92).
 
@@ -177,6 +210,42 @@ class Conv(nn.Module):
     fused: bool = False
     dtype: Any = jnp.float32
     pack: str = ""
+
+    def _packed_conv(self, x, train):
+        """Packed-in -> packed-out conv (pack="pp"): both sides stay in
+        space-to-depth coordinates, so interior layers of a packed region
+        (e.g. the first C3, layers.C3(pack="pp")) run with 4x the channel
+        width — full 128-lane tiles instead of 4x lane-padding waste at
+        C=32..64 — at 1/4 the spatial points. Same param tree / math as the
+        plain path (the packed kernel is a constant re-indexing of the
+        canonical one, _pack_maps)."""
+        ci = x.shape[-1] // 4
+        kernel, bias = _ConvParams(self.c2, (self.k, self.k, ci),
+                                   use_bias=self.fused, name="conv")()
+        m, (pad_lo, pad_hi) = _pack_maps(self.k, self.s)
+        kt = m.shape[2]
+        kp = jnp.einsum("abtupq,abio->tupiqo", jnp.asarray(m, self.dtype),
+                        kernel.astype(self.dtype))
+        kp = kp.reshape(kt, kt, 4 * ci, 4 * self.c2)
+        xp = x.astype(self.dtype)
+        if pad_lo or pad_hi:
+            xp = jnp.pad(xp, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi),
+                              (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, kp, (self.s, self.s), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.fused:
+            y = y + jnp.tile(bias, 4).astype(y.dtype)
+        else:
+            b, hp, wp, _ = y.shape
+            # packed channel = (phase, c2): stats per canonical channel
+            # over all 4 phases — same value multiset as the plain path
+            y = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name="bn")(
+                y.reshape(b, hp, wp, 4, self.c2))
+            y = y.reshape(b, hp, wp, 4 * self.c2)
+        return ACTIVATIONS[self.act](y)
 
     def _packed_stem(self, x, train):
         """Both packed stem flavors; declares the exact nn.Conv/nn.BatchNorm
@@ -239,6 +308,8 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.pack == "pp":
+            return self._packed_conv(x, train)
         if self.pack:
             return self._packed_stem(x, train)
         pad = autopad(self.k, self.p, self.d)
@@ -291,13 +362,17 @@ class Bottleneck(nn.Module):
     act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
+    pack: str = ""
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
-        y = Conv(self.c2, 3, 1, g=self.g, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(y, train)
-        if self.shortcut and x.shape[-1] == self.c2:
+        y = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype,
+                 pack=self.pack, name="cv1")(x, train)
+        y = Conv(self.c2, 3, 1, g=self.g, act=self.act, fused=self.fused,
+                 dtype=self.dtype, pack=self.pack, name="cv2")(y, train)
+        cin = x.shape[-1] // (4 if self.pack else 1)
+        if self.shortcut and cin == self.c2:
             y = x + y
         return y
 
@@ -350,21 +425,35 @@ class C3(nn.Module):
     act: str = "silu"
     fused: bool = False
     dtype: Any = jnp.float32
+    pack: str = ""
 
     def inner(self, c_: int, i: int) -> nn.Module:
         return Bottleneck(c_, self.shortcut, self.g, e=1.0, act=self.act,
-                          fused=self.fused, dtype=self.dtype, name=f"m_{i}")
+                          fused=self.fused, dtype=self.dtype, pack=self.pack,
+                          name=f"m_{i}")
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y1 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv1")(x, train)
+        y1 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype,
+                  pack=self.pack, name="cv1")(x, train)
         for i in range(self.n):
             y1 = self.inner(c_, i)(y1, train)
-        y2 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv2")(x, train)
-        return Conv(self.c2, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype, name="cv3")(
-            jnp.concatenate([y1, y2], axis=-1), train
-        )
+        y2 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype,
+                  pack=self.pack, name="cv2")(x, train)
+        if self.pack:
+            # packed concat must stay phase-major over the CONCATENATED
+            # channel set ((phase, c_cv1+c_cv2) like the canonical concat's
+            # packed form), not block-concat the two packed maps — cv3's
+            # packed kernel is built from the canonical weights
+            b, h, w, _ = y1.shape
+            cat = jnp.concatenate([y1.reshape(b, h, w, 4, c_),
+                                   y2.reshape(b, h, w, 4, c_)], axis=-1)
+            cat = cat.reshape(b, h, w, 8 * c_)
+        else:
+            cat = jnp.concatenate([y1, y2], axis=-1)
+        return Conv(self.c2, 1, 1, act=self.act, fused=self.fused,
+                    dtype=self.dtype, pack=self.pack, name="cv3")(cat, train)
 
 
 class C3x(C3):

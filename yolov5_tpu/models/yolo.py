@@ -236,6 +236,35 @@ def _stem_packable(specs, save) -> bool:
     return True
 
 
+def _c3_packable(specs, save) -> bool:
+    """True when the packed region can extend past the stem pair through
+    layers 2-3: layer 2 is a plain C3 (g=1) fed only by layer 1, layer 3 is
+    the 3x3/s2 downsample fed only by layer 2, and neither 1 nor 2 is read
+    elsewhere. Layer 1 then emits a packed map (Conv pack="pp" stride 2),
+    the whole first C3 runs in space-to-depth coordinates (C3 pack="pp" —
+    its 32-64ch 160^2 tensors are the train step's #1 cost canonically:
+    4x lane-padding waste at <128 channels), and layer 3 consumes the
+    packed map emitting canonical for free (the existing "stem1" form).
+    Reference models/yolov5s.yaml backbone rows 2-3."""
+    if len(specs) < 4 or 1 in save or 2 in save:
+        return False
+    c3 = specs[2]
+    if c3.module != "C3" or c3.frm != (-1,) or c3.n != 1:
+        return False
+    if dict(c3.kwargs).get("g", 1) != 1:
+        return False
+    down = specs[3]
+    if down.module != "Conv" or down.frm != (-1,) or down.n != 1:
+        return False
+    kw = dict(down.kwargs)
+    if kw.get("g", 1) != 1 or kw.get("d", 1) != 1:
+        return False
+    a = down.args
+    if len(a) < 3 or a[1] != 3 or a[2] != 2:
+        return False
+    return L.autopad(3, a[3] if len(a) > 3 else None) == 1
+
+
 def _packed_stem_default() -> bool:
     """Packed stem on by default on TPU; YOLOV5_TPU_PACKED_STEM=0/1
     overrides (e.g. to exercise the packed path in CPU tests)."""
@@ -323,6 +352,15 @@ class YOLOGraph(nn.Module):
                      or (x.ndim == 5 and x.shape[1] % 2 == 0
                          and x.shape[2] % 2 == 0))):
             packs = {0: "stem0", 1: "stem1"}
+            # extend the packed region through layers 2-3 (C3 in s2d
+            # coordinates) when the graph and the input size (one more /2
+            # of the packed grid) allow it: layer 1 keeps its output
+            # packed, layer 3 plays the "stem1" role
+            h, w = x.shape[1:3]
+            div = 8 if x.ndim == 4 else 4
+            if (_c3_packable(self.specs, self.save)
+                    and h % div == 0 and w % div == 0):
+                packs = {0: "stem0", 1: "pp", 2: "pp", 3: "stem1"}
         elif x.ndim == 5:
             out = x = L.unpack_s2d(x)
         for spec in self.specs:
