@@ -208,3 +208,91 @@ def test_verified_selection_matches_exact_sparse_and_dense(rng):
             np.testing.assert_array_equal(
                 np.asarray(getattr(fast, name))[v_f],
                 np.asarray(getattr(exact, name))[v_e], err_msg=landscape)
+
+
+# ---------------------------------------------------------------------------
+# Fused decode+NMS from raw head maps (the TPU serving path)
+
+
+def _random_maps(rng, bs=2, nc=7, nm=0, levels=((12, 16, 3), (6, 8, 3)),
+                 strides=(8, 16)):
+    """Raw logit head maps + matching anchors/strides."""
+    no = 5 + nc + nm
+    maps, anchors = [], []
+    for (ny, nx, na), s in zip(levels, strides):
+        maps.append(rng.normal(0, 2.0, (bs, ny, nx, na, no)).astype(np.float32))
+        anchors.append((rng.uniform(0.5, 4.0, (na, 2)) * s).astype(np.float32))
+    return [jnp.asarray(m) for m in maps], anchors, list(strides)
+
+
+def _assert_same_detections(a, b, atol=1e-4):
+    """Two padded Detections agree on every valid entry."""
+    na_, nb_ = np.asarray(a.valid), np.asarray(b.valid)
+    assert (na_ == nb_).all(), "valid masks differ"
+    v = na_
+    for field in ("boxes", "scores", "classes", "masks"):
+        xa, xb = np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+        assert np.allclose(xa[v], xb[v], atol=atol), field
+
+
+@pytest.mark.parametrize("multi_label", [False, True])
+@pytest.mark.parametrize("nm", [0, 4])
+def test_from_maps_matches_decoded_path(rng, multi_label, nm):
+    """non_max_suppression_from_maps(maps) == non_max_suppression(decode(maps))
+    — the fused serving path must produce the identical candidate set, boxes,
+    classes and mask coefficients as decode-then-NMS (ops/nms.py)."""
+    from yolov5_tpu.models.layers import decode
+    from yolov5_tpu.ops.nms import non_max_suppression_from_maps
+
+    nc = 7
+    maps, anchors, strides = _random_maps(rng, nc=nc, nm=nm)
+    kw = dict(conf_thres=0.25, iou_thres=0.45, max_det=50, max_nms=256,
+              multi_label=multi_label, nc=nc)
+    pred = decode(maps, anchors, strides, nc=nc)
+    ref = non_max_suppression(pred, **kw)
+    got = non_max_suppression_from_maps(maps, anchors, strides, **kw)
+    assert int(got.valid.sum()) > 0  # non-degenerate case
+    _assert_same_detections(ref, got)
+
+
+def test_from_maps_matches_decoded_path_options(rng):
+    """Option parity: agnostic, merge, class_filter, single level."""
+    from yolov5_tpu.models.layers import decode
+    from yolov5_tpu.ops.nms import non_max_suppression_from_maps
+
+    nc = 5
+    maps, anchors, strides = _random_maps(rng, nc=nc)
+    pred = decode(maps, anchors, strides, nc=nc)
+    filt = jnp.asarray(np.array([1, 0, 1, 0, 1], bool))
+    for kw in (dict(agnostic=True), dict(merge=True),
+               dict(class_filter=filt)):
+        base = dict(conf_thres=0.3, iou_thres=0.5, max_det=30, max_nms=128,
+                    nc=nc)
+        ref = non_max_suppression(pred, **base, **kw)
+        got = non_max_suppression_from_maps(maps, anchors, strides,
+                                            **base, **kw)
+        _assert_same_detections(ref, got)
+    if "class_filter" in kw:
+        assert set(np.unique(np.asarray(got.classes)[np.asarray(got.valid)])) \
+            <= {0, 2, 4}
+    # single level
+    m1, a1, s1 = maps[:1], anchors[:1], strides[:1]
+    ref = non_max_suppression(decode(m1, a1, s1, nc=nc), conf_thres=0.25,
+                              max_nms=128, max_det=20, nc=nc)
+    got = non_max_suppression_from_maps(m1, a1, s1, conf_thres=0.25,
+                                        max_nms=128, max_det=20, nc=nc)
+    _assert_same_detections(ref, got)
+
+
+def test_from_maps_detector_end_to_end(rng):
+    """Detector.__call__ rides the fused path and agrees with the decoded
+    reference pipeline on a real (random-weight) model."""
+    from yolov5_tpu.infer import Detector
+    from yolov5_tpu.ops.nms import non_max_suppression_from_maps  # noqa: F401
+
+    det = Detector(cfg="yolov5n", imgsz=64)
+    ims = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    got = det(ims, conf_thres=0.01, max_nms=512, max_det=20)
+    preds = det._forward(det.variables, jnp.asarray(ims))
+    ref = non_max_suppression(preds, conf_thres=0.01, max_nms=512, max_det=20)
+    _assert_same_detections(ref, got, atol=1e-3)

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from yolov5_tpu.data.sources import LoadImages, batched
 from yolov5_tpu.models import DetectionModel
 from yolov5_tpu.models.weights import fuse_conv_bn
-from yolov5_tpu.ops.nms import detections_to_numpy, non_max_suppression
+from yolov5_tpu.ops.nms import (detections_to_numpy, non_max_suppression,
+                                non_max_suppression_from_maps)
 from yolov5_tpu.utils.general import increment_path
 
 
@@ -175,6 +176,42 @@ class Detector:
             return model.decode(maps)
 
         self._forward = _forward
+
+        # TPU serving fast path (measured on the tunneled v5e, b32@640; see
+        # docs/tpu_performance.md "Serving dispatch"):
+        #  1. params cross as ONE flat buffer — a per-leaf pytree dispatch
+        #     marshals ~300 buffer handles per call (+2.5 ms/call);
+        #  2. the jit-boundary interchange is the RAW bf16 head maps
+        #     (~137 MB) instead of the decoded fp32 (bs, N, 85) (~274 MB) —
+        #     boundary outputs cost far above roofline, so bytes are king;
+        #  3. decode runs inside the NMS program on the gathered survivors
+        #     only (ops/nms.non_max_suppression_from_maps).
+        leaves, treedef = jax.tree.flatten(self.variables)
+        shapes = [l.shape for l in leaves]
+        dtypes = [l.dtype for l in leaves]
+        sizes = [int(np.prod(s)) for s in shapes]
+        offs = np.cumsum([0] + sizes)
+        # fp32 container: exact for the fp32/bf16 leaves this model carries.
+        # ONE jitted dispatch: per-leaf eager ravel/astype would be ~600
+        # network round trips on the tunneled device (minutes, not ms).
+        self._flat_params = jax.jit(lambda ls: jnp.concatenate(
+            [jnp.ravel(l).astype(jnp.float32) for l in ls]))(leaves)
+
+        def _unflatten(flat):
+            ls = [jax.lax.dynamic_slice(flat, (int(offs[i]),), (sizes[i],))
+                  .reshape(shapes[i]).astype(dtypes[i])
+                  for i in range(len(sizes))]
+            return jax.tree.unflatten(treedef, ls)
+
+        @jax.jit
+        def _forward_maps(flat, images):
+            x = images.astype(dtype) / 255.0
+            maps = model.module.apply(_unflatten(flat), x, train=False)
+            return tuple(maps)
+
+        self._forward_maps = _forward_maps
+        self._anchors = tuple(np.asarray(a, np.float32) for a in model.anchors)
+        self._strides = tuple(float(s) for s in model.stride)
 
         @jax.jit
         def _forward_tta(variables, images):
@@ -355,7 +392,10 @@ class Detector:
 
     def warmup(self, batch_size=1):
         im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
-        jax.block_until_ready(self._forward(self.variables, im))
+        if getattr(self, "_forward_maps", None) is not None:
+            jax.block_until_ready(self._forward_maps(self._flat_params, im))
+        else:
+            jax.block_until_ready(self._forward(self.variables, im))
 
     def __call__(self, images_uint8, conf_thres=0.25, iou_thres=0.45,
                  max_det=1000, classes=None, agnostic=False, max_nms=2048,
@@ -363,13 +403,23 @@ class Detector:
         """images: (bs, s, s, 3) uint8 RGB (letterboxed). Returns Detections."""
         if augment and self._forward_tta is None:
             raise ValueError(f"TTA is not supported on the {self.backend} backend")
-        fwd = self._forward_tta if augment else self._forward
-        preds = fwd(self.variables, jnp.asarray(images_uint8))
         class_filter = None
         if classes is not None:
             class_filter = np.zeros(self.nc, bool)
             class_filter[list(classes)] = True
             class_filter = jnp.asarray(class_filter)
+        if not augment and getattr(self, "_forward_maps", None) is not None:
+            # serving fast path: raw maps across the boundary, decode fused
+            # into NMS (same detections as the decoded path, tested)
+            maps = self._forward_maps(self._flat_params,
+                                      jnp.asarray(images_uint8))
+            return non_max_suppression_from_maps(
+                maps, self._anchors, self._strides, conf_thres=conf_thres,
+                iou_thres=iou_thres, max_det=max_det, agnostic=agnostic,
+                class_filter=class_filter, max_nms=max_nms, nc=self.nc,
+            )
+        fwd = self._forward_tta if augment else self._forward
+        preds = fwd(self.variables, jnp.asarray(images_uint8))
         return non_max_suppression(
             preds, conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
             agnostic=agnostic, class_filter=class_filter, max_nms=max_nms,

@@ -157,6 +157,99 @@ def _greedy_nms_tiled(boxes, scores, iou_thres, tile=256, max_det=None):
     return keep[:k]
 
 
+def _make_select_k(conf_thres, exact_selection):
+    """Build the protocol-exact descending top-k used for candidate selection
+    (see the docstring inside non_max_suppression for the verified-approx
+    scheme)."""
+
+    def select_k(flat, k):
+        if k <= 2048 or exact_selection:
+            return jax.lax.top_k(flat, k)
+        k_fast = 4096
+        if k <= k_fast:
+            return jax.lax.top_k(flat, k)
+        c = (flat > conf_thres).sum(axis=-1)  # above-threshold candidates
+        vals, idx = jax.lax.approx_max_k(flat, k_fast, recall_target=0.95)
+        got = (vals > conf_thres).sum(axis=-1)
+        captured_all = jnp.all((got >= c) & (c <= k_fast))
+
+        def fast(_):
+            neg, sidx = jax.lax.sort_key_val(-vals, idx, dimension=-1)
+            pad = ((0, 0), (0, k - k_fast))
+            return jnp.pad(-neg, pad), jnp.pad(sidx, pad)
+
+        def slow(_):
+            return tuple(jax.lax.top_k(flat, k))
+
+        return jax.lax.cond(captured_all, fast, slow, None)
+
+    return select_k
+
+
+def _suppress_and_pack(top_scores, top_boxes, cls_idx, top_masks, *,
+                       iou_thres, agnostic, max_det, impl, merge, out_dtype):
+    """Shared NMS tail: class-offset -> greedy suppression -> optional merge
+    -> compact to max_det padded `Detections`. Candidates arrive score-sorted
+    (descending) with gated-out entries at score 0."""
+    bs, k = top_scores.shape
+    nm = top_masks.shape[-1]
+
+    # Class-offset trick: shift boxes per class so one agnostic pass does
+    # per-class suppression.
+    if agnostic:
+        nms_boxes = top_boxes
+    else:
+        nms_boxes = top_boxes + (cls_idx.astype(top_boxes.dtype) * MAX_WH)[..., None]
+
+    if impl == "pallas":
+        from yolov5_tpu.ops.nms_pallas import greedy_nms_pallas
+
+        keep = greedy_nms_pallas(nms_boxes.astype(jnp.float32),
+                                 top_scores.astype(jnp.float32), iou_thres)
+    else:
+        if impl == "scan":
+            nms_fn = lambda b, s: _greedy_nms_scan(b, s, iou_thres)
+        else:
+            nms_fn = lambda b, s: _greedy_nms_tiled(b, s, iou_thres,
+                                                    max_det=max_det)
+        keep = jax.vmap(
+            lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32))
+        )(nms_boxes, top_scores)  # (bs, K)
+
+    if merge:
+        # merge-NMS (reference utils/general.py:755-760): each kept box
+        # becomes the score-weighted average of all candidates with
+        # IoU > iou_thres against it (same class via offset boxes)
+        m_iou = box_iou(nms_boxes.astype(jnp.float32), nms_boxes.astype(jnp.float32))
+        # w[b, i, j]: score of candidate j if it overlaps kept box i
+        w = jnp.where(m_iou > iou_thres, top_scores[:, None, :], 0.0)  # (bs, K, K)
+        merged = jnp.einsum("bij,bjd->bid", w, top_boxes.astype(jnp.float32))
+        denom = w.sum(axis=2)[..., None]
+        top_boxes = jnp.where(keep[..., None], merged / jnp.maximum(denom, 1e-8),
+                              top_boxes.astype(jnp.float32)).astype(top_boxes.dtype)
+
+    # Compact kept detections to the front, pad to max_det.
+    kept_scores = jnp.where(keep, top_scores, 0.0)
+    md = min(max_det, k)
+    out_scores, order = jax.lax.top_k(kept_scores, md)
+    out_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
+    out_classes = jnp.take_along_axis(cls_idx, order, axis=1)
+    out_masks = (
+        jnp.take_along_axis(top_masks, order[..., None], axis=1)
+        if nm
+        else jnp.zeros((bs, md, 0), out_dtype)
+    )
+    if md < max_det:  # pad to the requested static output size
+        pad = max_det - md
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+        out_masks = jnp.pad(out_masks, ((0, 0), (0, pad), (0, 0)))
+    out_valid = out_scores > 0
+
+    return Detections(out_boxes, out_scores, out_classes, out_masks, out_valid)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -224,41 +317,22 @@ def non_max_suppression(
 
     k = min(max_nms, n * nc if multi_label else n)
 
-    def select_k(flat, k):
-        """Descending top-k of (bs, M), protocol-exact at any k.
-
-        Exact lax.top_k lowers to an iterative partial sort that costs
-        ~2.4-4.3 ms/img on the eval path's (bs, N*nc)=~2M input at ANY k
-        (measured k=2048..30720) — it would dominate the whole NMS. Instead:
-        run the TPU-native approx_max_k at a small k_fast (0.3 ms/img at
-        4096), count the candidates above conf_thres in one cheap pass, and
-        VERIFY the approx pass captured every one of them. For a trained
-        model at conf 0.001 the above-threshold count is far below k_fast,
-        so the fast path almost always wins and its result provably equals
-        the reference's exact top-`max_nms` truncation (utils/general.py:688)
-        — every above-threshold candidate is present, sorted. When the check
-        fails (dense score landscapes: early training, random weights), a
-        lax.cond falls back to the exact top_k at the full cap, so the
-        result is reference-exact in EVERY case, never approximate."""
-        if k <= 2048 or exact_selection:
-            return jax.lax.top_k(flat, k)
-        k_fast = 4096
-        if k <= k_fast:
-            return jax.lax.top_k(flat, k)
-        c = (flat > conf_thres).sum(axis=-1)  # above-threshold candidates
-        vals, idx = jax.lax.approx_max_k(flat, k_fast, recall_target=0.95)
-        got = (vals > conf_thres).sum(axis=-1)
-        captured_all = jnp.all((got >= c) & (c <= k_fast))
-
-        def fast(_):
-            neg, sidx = jax.lax.sort_key_val(-vals, idx, dimension=-1)
-            pad = ((0, 0), (0, k - k_fast))
-            return jnp.pad(-neg, pad), jnp.pad(sidx, pad)
-
-        def slow(_):
-            return tuple(jax.lax.top_k(flat, k))
-
-        return jax.lax.cond(captured_all, fast, slow, None)
+    # select_k: descending top-k of (bs, M), protocol-exact at any k.
+    #
+    # Exact lax.top_k lowers to an iterative partial sort that costs
+    # ~2.4-4.3 ms/img on the eval path's (bs, N*nc)=~2M input at ANY k
+    # (measured k=2048..30720) — it would dominate the whole NMS. Instead:
+    # run the TPU-native approx_max_k at a small k_fast (0.3 ms/img at
+    # 4096), count the candidates above conf_thres in one cheap pass, and
+    # VERIFY the approx pass captured every one of them. For a trained
+    # model at conf 0.001 the above-threshold count is far below k_fast,
+    # so the fast path almost always wins and its result provably equals
+    # the reference's exact top-`max_nms` truncation (utils/general.py:688)
+    # — every above-threshold candidate is present, sorted. When the check
+    # fails (dense score landscapes: early training, random weights), a
+    # lax.cond falls back to the exact top_k at the full cap, so the
+    # result is reference-exact in EVERY case, never approximate.
+    select_k = _make_select_k(conf_thres, exact_selection)
 
     if multi_label and nc > 1:
         flat = cls_scores.reshape(bs, n * nc)
@@ -278,60 +352,131 @@ def non_max_suppression(
         top_boxes = jnp.take_along_axis(boxes, box_idx[..., None], axis=1)
         top_masks = jnp.take_along_axis(masks, box_idx[..., None], axis=1) if nm else masks[:, :0]
 
-    # Class-offset trick: shift boxes per class so one agnostic pass does
-    # per-class suppression.
-    if agnostic:
-        nms_boxes = top_boxes
-    else:
-        nms_boxes = top_boxes + (cls_idx.astype(top_boxes.dtype) * MAX_WH)[..., None]
+    return _suppress_and_pack(top_scores, top_boxes, cls_idx, top_masks,
+                              iou_thres=iou_thres, agnostic=agnostic,
+                              max_det=max_det, impl=impl, merge=merge,
+                              out_dtype=prediction.dtype)
 
-    if impl == "pallas":
-        from yolov5_tpu.ops.nms_pallas import greedy_nms_pallas
 
-        keep = greedy_nms_pallas(nms_boxes.astype(jnp.float32),
-                                 top_scores.astype(jnp.float32), iou_thres)
-    else:
-        if impl == "scan":
-            nms_fn = lambda b, s: _greedy_nms_scan(b, s, iou_thres)
+@functools.partial(
+    jax.jit,
+    static_argnames=("multi_label", "agnostic", "max_det", "max_nms", "nc",
+                     "impl", "merge", "exact_selection"),
+)
+def non_max_suppression_from_maps(
+    maps,
+    anchors,
+    strides,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    multi_label: bool = False,
+    agnostic: bool = False,
+    max_det: int = 300,
+    max_nms: int = 30720,
+    nc: int | None = None,
+    class_filter=None,
+    impl: str = "tiled",
+    merge: bool = False,
+    exact_selection: bool = False,
+) -> Detections:
+    """Fused decode+NMS straight from the RAW head maps.
+
+    Identical result to ``non_max_suppression(decode(maps), ...)`` (same
+    candidate set, same greedy suppression — cross-checked in tests), but
+    built for the TPU serving path: the (bs, N, no) fp32 decoded tensor
+    (~274 MB at b32/640) never exists. Candidate selection reads the bf16
+    maps in place — σ is monotone, so per-candidate confidence needs only
+    σ(obj)·σ(max cls logit) — and the box decode (grid/anchor arithmetic)
+    runs on the ≤max_nms gathered survivors instead of all N candidates.
+    Measured end to end this takes the jit-boundary interchange from 274 MB
+    fp32 to the 137 MB bf16 maps and deletes the full-map decode entirely.
+
+    Args:
+      maps: list/tuple of raw head maps, each (bs, ny, nx, na, no) logits
+        (bf16 or fp32) — DetectionModel.module.apply(..., train=False).
+      anchors: per-level (na, 2) anchor sizes in PIXELS (model.anchors).
+      strides: per-level stride (model.stride).
+      nc: number of classes; defaults to no-5 (plain Detect). Pass
+        explicitly for Segment heads (no = 5 + nc + nm).
+      Everything else: as non_max_suppression.
+    """
+    bs, _, _, _, no = maps[0].shape
+    if nc is None:
+        nc = no - 5
+    nm = no - nc - 5
+
+    n_total = sum(m.shape[1] * m.shape[2] * m.shape[3] for m in maps)
+    k = min(max_nms, n_total * nc if multi_label else n_total)
+    select_k = _make_select_k(conf_thres, exact_selection)
+
+    parts = []  # per-level (scores, boxes_xyxy, cls_idx, masks)
+    for y, a, s in zip(maps, anchors, strides):
+        b, ny, nx, na, _ = y.shape
+        n_l = ny * nx * na
+        flat_y = y.reshape(bs, n_l, no)  # free: dims already cell-major
+        obj_sig = jax.nn.sigmoid(flat_y[..., 4].astype(jnp.float32))  # (bs,Nl)
+
+        if multi_label and nc > 1:
+            probs = obj_sig[..., None] * jax.nn.sigmoid(
+                flat_y[..., 5:5 + nc].astype(jnp.float32))
+            if class_filter is not None:
+                probs = jnp.where(class_filter[None, None, :], probs, 0.0)
+            flat = probs.reshape(bs, n_l * nc)
+            flat = jnp.where(flat > conf_thres, flat, 0.0)
+            k_l = min(k, n_l * nc)
+            scores_l, top_idx = select_k(flat, k_l)
+            cand_idx = top_idx // nc  # (bs, k_l) candidate rows
+            cls_idx = (top_idx % nc).astype(jnp.int32)
         else:
-            nms_fn = lambda b, s: _greedy_nms_tiled(b, s, iou_thres,
-                                                    max_det=max_det)
-        keep = jax.vmap(
-            lambda b, s: nms_fn(b.astype(jnp.float32), s.astype(jnp.float32))
-        )(nms_boxes, top_scores)  # (bs, K)
+            cls_logits = flat_y[..., 5:5 + nc].astype(jnp.float32)
+            if class_filter is not None:
+                cls_logits = jnp.where(class_filter[None, None, :], cls_logits,
+                                       -jnp.inf)
+            # σ is monotone: max σ(cls) == σ(max cls logit) — one fused
+            # bf16-read reduce instead of a (bs, N, nc) fp32 probs tensor
+            best = obj_sig * jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+            best = jnp.where(best > conf_thres, best, 0.0)
+            k_l = min(k, n_l)
+            scores_l, cand_idx = select_k(best, k_l)
+            cls_idx = jnp.take_along_axis(
+                jnp.argmax(cls_logits, axis=-1).astype(jnp.int32), cand_idx,
+                axis=1)
 
-    if merge:
-        # merge-NMS (reference utils/general.py:755-760): each kept box
-        # becomes the score-weighted average of all candidates with
-        # IoU > iou_thres against it (same class via offset boxes)
-        m_iou = box_iou(nms_boxes.astype(jnp.float32), nms_boxes.astype(jnp.float32))
-        # w[b, i, j]: score of candidate j if it overlaps kept box i
-        w = jnp.where(m_iou > iou_thres, top_scores[:, None, :], 0.0)  # (bs, K, K)
-        merged = jnp.einsum("bij,bjd->bid", w, top_boxes.astype(jnp.float32))
-        denom = w.sum(axis=2)[..., None]
-        top_boxes = jnp.where(keep[..., None], merged / jnp.maximum(denom, 1e-8),
-                              top_boxes.astype(jnp.float32)).astype(top_boxes.dtype)
+        # gather the ≤k_l surviving raw rows, then decode ONLY those
+        rows = jnp.take_along_axis(flat_y, cand_idx[..., None], axis=1)
+        rows = rows.astype(jnp.float32)  # (bs, k_l, no)
+        # candidate linear index -> (grid y, grid x, anchor): the reshape
+        # above is cell-major (gy, gx, anchor), matching layers.decode_level
+        anc = cand_idx % na
+        cell = cand_idx // na
+        gx = (cell % nx).astype(jnp.float32)
+        gy = (cell // nx).astype(jnp.float32)
+        a_px = jnp.asarray(a, jnp.float32)[anc]  # (bs, k_l, 2)
+        xy = (jax.nn.sigmoid(rows[..., 0:2]) * 2.0 - 0.5
+              + jnp.stack([gx, gy], axis=-1)) * s
+        wh = (jax.nn.sigmoid(rows[..., 2:4]) * 2.0) ** 2 * a_px
+        boxes_l = xywh2xyxy(jnp.concatenate([xy, wh], axis=-1))
+        masks_l = rows[..., 5 + nc:] if nm else rows[:, :, :0]
+        parts.append((scores_l, boxes_l, cls_idx, masks_l))
 
-    # Compact kept detections to the front, pad to max_det.
-    kept_scores = jnp.where(keep, top_scores, 0.0)
-    md = min(max_det, k)
-    out_scores, order = jax.lax.top_k(kept_scores, md)
-    out_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
-    out_classes = jnp.take_along_axis(cls_idx, order, axis=1)
-    out_masks = (
-        jnp.take_along_axis(top_masks, order[..., None], axis=1)
-        if nm
-        else jnp.zeros((bs, md, 0), prediction.dtype)
-    )
-    if md < max_det:  # pad to the requested static output size
-        pad = max_det - md
-        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
-        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
-        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
-        out_masks = jnp.pad(out_masks, ((0, 0), (0, pad), (0, 0)))
-    out_valid = out_scores > 0
+    top_scores = jnp.concatenate([p[0] for p in parts], axis=1)
+    top_boxes = jnp.concatenate([p[1] for p in parts], axis=1)
+    cls_idx = jnp.concatenate([p[2] for p in parts], axis=1)
+    top_masks = jnp.concatenate([p[3] for p in parts], axis=1)
+    if top_scores.shape[1] > k:
+        # exact: every global top-k candidate is inside its level's top-k_l,
+        # so re-selecting k from the (small) union reproduces the global
+        # top-k of the single-tensor path
+        top_scores, order = jax.lax.top_k(top_scores, k)
+        top_boxes = jnp.take_along_axis(top_boxes, order[..., None], axis=1)
+        cls_idx = jnp.take_along_axis(cls_idx, order, axis=1)
+        top_masks = (jnp.take_along_axis(top_masks, order[..., None], axis=1)
+                     if nm else top_masks[:, :k])
 
-    return Detections(out_boxes, out_scores, out_classes, out_masks, out_valid)
+    return _suppress_and_pack(top_scores, top_boxes, cls_idx, top_masks,
+                              iou_thres=iou_thres, agnostic=agnostic,
+                              max_det=max_det, impl=impl, merge=merge,
+                              out_dtype=jnp.float32)
 
 
 def detections_to_numpy(dets: Detections):
