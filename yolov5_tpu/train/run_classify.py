@@ -212,7 +212,7 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
 
     eval_jit = jax.jit(eval_fn)
 
-    best_top1 = 0.0
+    best_top1, best_snap, best_epoch = 0.0, None, -1
     with mesh:
         for epoch in range(epochs):
             t0 = time.time()
@@ -252,7 +252,12 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
                     total += len(batch["labels"])
                 row["val/top1"] = top1 / max(total, 1)
                 row["val/top5"] = top5 / max(total, 1)
-                best_top1 = max(best_top1, row["val/top1"])
+                if row["val/top1"] >= best_top1:
+                    # snapshot the best-epoch weights for best.ckpt (the
+                    # reference keeps last.pt AND best.pt: classify/train.py)
+                    best_top1 = row["val/top1"]
+                    best_snap = jax.device_get((params, batch_stats, ema))
+                    best_epoch = epoch
             loggers.log_metrics(row, epoch)
             if verbose:
                 print(f"epoch {epoch + 1}/{epochs}  " +
@@ -265,6 +270,19 @@ def run(data, cfg="yolov5s", epochs=10, batch_size=64, imgsz=224, lr0=0.001,
         model.cfg, model.names = cfg, {i: c for i, c in enumerate(train_ds.classes)}
         save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), model,
                         epochs - 1, best_top1, extra={"imgsz": imgsz})
+        if best_snap is not None:
+            b_params, b_stats, b_ema = best_snap
+            b_state = TrainState(jnp.zeros((), jnp.int32), b_params, b_stats,
+                                 None, b_ema)
+            save_checkpoint(save_dir / "best.ckpt", b_state, model,
+                            best_epoch, best_top1, extra={"imgsz": imgsz})
+        else:  # no val split: best == last
+            import shutil
+
+            shutil.copyfile(save_dir / "last.ckpt", save_dir / "best.ckpt")
+            if (save_dir / "last.ckpt.json").exists():
+                shutil.copyfile(save_dir / "last.ckpt.json",
+                                save_dir / "best.ckpt.json")
     if (save_dir / "last.ckpt").exists():
         loggers.log_model(save_dir / "last.ckpt")
     loggers.close()
