@@ -113,7 +113,17 @@ def main(batch=32, imgsz=640, k=20):
         return fused.decode(maps, dtype=jnp.float32)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.uniform(0, 1, (batch, imgsz, imgsz, 3)), jnp.bfloat16)
+    imgs_np = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
+    if fused.wants_packed_input(imgsz, imgsz):
+        # deployment input pipeline: the feeder phase-packs batches on the
+        # host (layers.pack_s2d) so the packed stem consumes them in place —
+        # the in-graph s2d fold of the input was the #1 item in the serving
+        # forward HLO (~31% of estimated cycles, pure layout copies). Same
+        # pre-pack infer.Detector / eval / train all do.
+        from yolov5_tpu.models.layers import pack_s2d
+
+        imgs_np = np.ascontiguousarray(pack_s2d(imgs_np))
+    images = jnp.asarray(imgs_np, jnp.bfloat16)
 
     # Serving program (what infer.Detector.__call__ actually dispatches):
     # params cross as ONE flat buffer (per-leaf pytree dispatch marshals

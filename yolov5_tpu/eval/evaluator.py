@@ -91,8 +91,20 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
     bt_fwd, bt_nms, bt_host = [], [], []
     bt_imgs = []
     n_images = 0
+    # Host pre-pack (layers.pack_s2d) when the packed stem can consume the
+    # batch in place: the in-graph space-to-depth fold of the input is the
+    # largest single item in the forward HLO (pure layout copies) — same
+    # trick as the train pipeline / serving Detector. Only for the standard
+    # cached forward; a caller-supplied tta_forward expects 4D.
+    can_pack = tta_forward is None and hasattr(model, "wants_packed_input")
     for batch in loader:
-        images = jnp.asarray(batch["images"])
+        im_np = batch["images"]
+        bh, bw = int(im_np.shape[1]), int(im_np.shape[2])
+        if can_pack and model.wants_packed_input(bh, bw):
+            from yolov5_tpu.models.layers import pack_s2d
+
+            im_np = np.ascontiguousarray(pack_s2d(np.asarray(im_np)))
+        images = jnp.asarray(im_np)
         t0 = time.perf_counter()
         preds = forward(variables, images)
         if save_hybrid:
@@ -101,7 +113,7 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
             # non_max_suppression(labels=...))
             tgt = jnp.asarray(batch["targets"], jnp.float32)  # (bs, M, 5)
             vmask = jnp.asarray(batch["valid"])
-            bh_, bw_ = images.shape[1], images.shape[2]
+            bh_, bw_ = bh, bw
             nc_ = preds.shape[-1] - 5
             lab_xywh = tgt[..., 1:5] * jnp.asarray([bw_, bh_, bw_, bh_],
                                                    jnp.float32)
@@ -124,7 +136,6 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
         n_images += bs
         for b in range(bs):
             pred = dets[b]  # (n, 6) xyxy+conf+cls in letterbox px
-            bh, bw = images.shape[1], images.shape[2]
             if native_space:
                 # reference val.py:282-310: un-letterbox predictions, take
                 # labels straight from the dataset in original coordinates

@@ -212,6 +212,12 @@ class Detector:
         self._forward_maps = _forward_maps
         self._anchors = tuple(np.asarray(a, np.float32) for a in model.anchors)
         self._strides = tuple(float(s) for s in model.stride)
+        #  4. the uint8 batch is phase-packed (layers.pack_s2d) on the HOST
+        #     before upload: the in-graph space-to-depth fold of the input
+        #     was the single largest item in the serving forward's HLO
+        #     (~31% of estimated cycles in pure layout copies at b32@640) —
+        #     the same host-pre-pack the train pipeline already does.
+        self._wants_packed = bool(model.wants_packed_input(imgsz, imgsz))
 
         @jax.jit
         def _forward_tta(variables, images):
@@ -390,12 +396,26 @@ class Detector:
         self._forward = lambda _, images: jnp.asarray(
             client.infer(np.asarray(images)))
 
+    def _prep_images(self, images_uint8):
+        """Host-side prep for the serving fast path: phase-pack a 4D numpy
+        batch before upload when the packed stem can consume it in place
+        (cheap uint8 reshuffle, overlaps device compute in the pipelined
+        detect loop)."""
+        if (getattr(self, "_wants_packed", False)
+                and isinstance(images_uint8, np.ndarray)
+                and images_uint8.ndim == 4):
+            from yolov5_tpu.models.layers import pack_s2d
+
+            return jnp.asarray(np.ascontiguousarray(pack_s2d(images_uint8)))
+        return jnp.asarray(images_uint8)
+
     def warmup(self, batch_size=1):
-        im = jnp.zeros((batch_size, self.imgsz, self.imgsz, 3), jnp.uint8)
+        im = np.zeros((batch_size, self.imgsz, self.imgsz, 3), np.uint8)
         if getattr(self, "_forward_maps", None) is not None:
-            jax.block_until_ready(self._forward_maps(self._flat_params, im))
+            jax.block_until_ready(
+                self._forward_maps(self._flat_params, self._prep_images(im)))
         else:
-            jax.block_until_ready(self._forward(self.variables, im))
+            jax.block_until_ready(self._forward(self.variables, jnp.asarray(im)))
 
     def __call__(self, images_uint8, conf_thres=0.25, iou_thres=0.45,
                  max_det=1000, classes=None, agnostic=False, max_nms=2048,
@@ -412,7 +432,7 @@ class Detector:
             # serving fast path: raw maps across the boundary, decode fused
             # into NMS (same detections as the decoded path, tested)
             maps = self._forward_maps(self._flat_params,
-                                      jnp.asarray(images_uint8))
+                                      self._prep_images(images_uint8))
             return non_max_suppression_from_maps(
                 maps, self._anchors, self._strides, conf_thres=conf_thres,
                 iou_thres=iou_thres, max_det=max_det, agnostic=agnostic,

@@ -210,6 +210,7 @@ class Conv(nn.Module):
     fused: bool = False
     dtype: Any = jnp.float32
     pack: str = ""
+    in_blocks: int = 1
 
     def _packed_conv(self, x, train):
         """Packed-in -> packed-out conv (pack="pp"): both sides stay in
@@ -227,6 +228,17 @@ class Conv(nn.Module):
         kp = jnp.einsum("abtupq,abio->tupiqo", jnp.asarray(m, self.dtype),
                         kernel.astype(self.dtype))
         kp = kp.reshape(kt, kt, 4 * ci, 4 * self.c2)
+        if self.in_blocks > 1:
+            # Input arrives as `in_blocks` separately phase-major packed maps
+            # block-concatenated on channels (e.g. C3's cat(y1, y2) without a
+            # runtime interleave). Bake the interleave into the kernel: row j
+            # of the block layout (block g, phase pi, channel r) holds the
+            # canonical pair (pi, g*cb + r) = phase-major row pi*ci + g*cb + r.
+            cb = ci // self.in_blocks
+            j = np.arange(4 * ci)
+            g_, rem = j // (4 * cb), j % (4 * cb)
+            pi, r = rem // cb, rem % cb
+            kp = kp[:, :, pi * ci + g_ * cb + r, :]
         xp = x.astype(self.dtype)
         if pad_lo or pad_hi:
             xp = jnp.pad(xp, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi),
@@ -441,19 +453,15 @@ class C3(nn.Module):
             y1 = self.inner(c_, i)(y1, train)
         y2 = Conv(c_, 1, 1, act=self.act, fused=self.fused, dtype=self.dtype,
                   pack=self.pack, name="cv2")(x, train)
-        if self.pack:
-            # packed concat must stay phase-major over the CONCATENATED
-            # channel set ((phase, c_cv1+c_cv2) like the canonical concat's
-            # packed form), not block-concat the two packed maps — cv3's
-            # packed kernel is built from the canonical weights
-            b, h, w, _ = y1.shape
-            cat = jnp.concatenate([y1.reshape(b, h, w, 4, c_),
-                                   y2.reshape(b, h, w, 4, c_)], axis=-1)
-            cat = cat.reshape(b, h, w, 8 * c_)
-        else:
-            cat = jnp.concatenate([y1, y2], axis=-1)
+        cat = jnp.concatenate([y1, y2], axis=-1)
+        # Packed concat must present cv3 with the CONCATENATED channel set in
+        # phase-major order; instead of interleaving the data at runtime
+        # (measured ~9% of the serving forward in pure copies), block-concat
+        # the two packed maps and bake the interleave into cv3's packed
+        # kernel row order (Conv.in_blocks).
         return Conv(self.c2, 1, 1, act=self.act, fused=self.fused,
-                    dtype=self.dtype, pack=self.pack, name="cv3")(cat, train)
+                    dtype=self.dtype, pack=self.pack,
+                    in_blocks=2 if self.pack else 1, name="cv3")(cat, train)
 
 
 class C3x(C3):
