@@ -61,11 +61,11 @@ def _train_step_time(batch, imgsz, k_lo=5, k_hi=15):
     imgs_np = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
     if model.wants_packed_input(imgsz, imgsz):
         # steady-state input pipeline: the prefetch worker pre-packs batches
-        # to the 5D s2d form (train/run.py host_prep), deleting the ~4 ms
+        # to the folded s2d form (train/run.py host_prep), deleting the ~4 ms
         # in-graph fold transpose the packed stem otherwise pays
-        from yolov5_tpu.models.layers import pack_s2d
+        from yolov5_tpu.models.layers import fold_s2d
 
-        imgs_np = np.ascontiguousarray(pack_s2d(imgs_np))
+        imgs_np = np.ascontiguousarray(fold_s2d(imgs_np))
     images = jnp.asarray(imgs_np, jnp.bfloat16)
     cls = rng.integers(0, model.nc, (batch, m, 1))
     cxy = rng.uniform(0.2, 0.8, (batch, m, 2))
@@ -116,13 +116,13 @@ def main(batch=32, imgsz=640, k=20):
     imgs_np = rng.uniform(0, 1, (batch, imgsz, imgsz, 3)).astype(np.float32)
     if fused.wants_packed_input(imgsz, imgsz):
         # deployment input pipeline: the feeder phase-packs batches on the
-        # host (layers.pack_s2d) so the packed stem consumes them in place —
+        # host (layers.fold_s2d) so the packed stem consumes them in place —
         # the in-graph s2d fold of the input was the #1 item in the serving
         # forward HLO (~31% of estimated cycles, pure layout copies). Same
         # pre-pack infer.Detector / eval / train all do.
-        from yolov5_tpu.models.layers import pack_s2d
+        from yolov5_tpu.models.layers import fold_s2d
 
-        imgs_np = np.ascontiguousarray(pack_s2d(imgs_np))
+        imgs_np = np.ascontiguousarray(fold_s2d(imgs_np))
     images = jnp.asarray(imgs_np, jnp.bfloat16)
 
     # Serving program (what infer.Detector.__call__ actually dispatches):
@@ -158,6 +158,9 @@ def main(batch=32, imgsz=640, k=20):
     strides = tuple(float(s) for s in fused.stride)
 
     def serve_e2e(fl, x):
+        # two programs, matching infer.Detector's serving path (a fully
+        # fused single program was tried and reverted: two in-flight
+        # dispatches deadlock result fetches on the tunneled runtime)
         maps = serve_fwd(fl, x)
         return non_max_suppression_from_maps(
             maps, anchors, strides, conf_thres=0.25, iou_thres=0.45,

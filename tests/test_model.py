@@ -406,6 +406,31 @@ def test_packed_input_5d():
     assert not plain.wants_packed_input(96, 96)
 
 
+def test_packed_input_folded_4d():
+    """The folded 4D (B,H/2,W/2,4C) pre-pack (layers.fold_s2d — the
+    TPU-preferred form: no in-graph reshape at all) must also produce
+    bit-identical outputs on both packed and non-packed models, and must
+    equal the 5D marker form's results."""
+    from yolov5_tpu.models.layers import fold_s2d, pack_s2d
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    # folded == contiguous reshape of the 5D marker form
+    assert np.array_equal(fold_s2d(x), pack_s2d(x).reshape(2, 48, 48, 12))
+
+    packed = DetectionModel("yolov5n", packed_stem=True)
+    y4 = packed.apply(packed.variables, jnp.asarray(x), train=False)
+    yf = packed.apply(packed.variables, jnp.asarray(fold_s2d(x)), train=False)
+    for a, b in zip(jax.tree.leaves(y4), jax.tree.leaves(yf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    plain = DetectionModel("yolov5n", packed_stem=False)
+    z4 = plain.apply(plain.variables, jnp.asarray(x), train=False)
+    zf = plain.apply(plain.variables, jnp.asarray(fold_s2d(x)), train=False)
+    for a, b in zip(jax.tree.leaves(z4), jax.tree.leaves(zf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_native_pack_s2d_matches_numpy():
     from yolov5_tpu import native
     from yolov5_tpu.models.layers import pack_s2d

@@ -91,19 +91,19 @@ def evaluate(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
     bt_fwd, bt_nms, bt_host = [], [], []
     bt_imgs = []
     n_images = 0
-    # Host pre-pack (layers.pack_s2d) when the packed stem can consume the
+    # Host pre-pack (layers.fold_s2d) when the packed stem can consume the
     # batch in place: the in-graph space-to-depth fold of the input is the
     # largest single item in the forward HLO (pure layout copies) — same
     # trick as the train pipeline / serving Detector. Only for the standard
-    # cached forward; a caller-supplied tta_forward expects 4D.
+    # cached forward; a caller-supplied tta_forward expects canonical 4D.
     can_pack = tta_forward is None and hasattr(model, "wants_packed_input")
     for batch in loader:
         im_np = batch["images"]
         bh, bw = int(im_np.shape[1]), int(im_np.shape[2])
         if can_pack and model.wants_packed_input(bh, bw):
-            from yolov5_tpu.models.layers import pack_s2d
+            from yolov5_tpu.models.layers import fold_s2d
 
-            im_np = np.ascontiguousarray(pack_s2d(np.asarray(im_np)))
+            im_np = np.ascontiguousarray(fold_s2d(np.asarray(im_np)))
         images = jnp.asarray(im_np)
         t0 = time.perf_counter()
         preds = forward(variables, images)

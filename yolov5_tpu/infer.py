@@ -212,7 +212,7 @@ class Detector:
         self._forward_maps = _forward_maps
         self._anchors = tuple(np.asarray(a, np.float32) for a in model.anchors)
         self._strides = tuple(float(s) for s in model.stride)
-        #  4. the uint8 batch is phase-packed (layers.pack_s2d) on the HOST
+        #  4. the uint8 batch is phase-packed (layers.fold_s2d) on the HOST
         #     before upload: the in-graph space-to-depth fold of the input
         #     was the single largest item in the serving forward's HLO
         #     (~31% of estimated cycles in pure layout copies at b32@640) —
@@ -404,9 +404,9 @@ class Detector:
         if (getattr(self, "_wants_packed", False)
                 and isinstance(images_uint8, np.ndarray)
                 and images_uint8.ndim == 4):
-            from yolov5_tpu.models.layers import pack_s2d
+            from yolov5_tpu.models.layers import fold_s2d
 
-            return jnp.asarray(np.ascontiguousarray(pack_s2d(images_uint8)))
+            return jnp.asarray(np.ascontiguousarray(fold_s2d(images_uint8)))
         return jnp.asarray(images_uint8)
 
     def warmup(self, batch_size=1):
@@ -430,7 +430,13 @@ class Detector:
             class_filter = jnp.asarray(class_filter)
         if not augment and getattr(self, "_forward_maps", None) is not None:
             # serving fast path: raw maps across the boundary, decode fused
-            # into NMS (same detections as the decoded path, tested)
+            # into NMS (same detections as the decoded path, tested).
+            # NOTE a fully-fused single program (forward+decode+NMS in one
+            # jit — would also delete the boundary layout copies on the head
+            # maps) was tried and REVERTED: with two fused dispatches in
+            # flight (the pipelined detect loop), result fetches deadlocked
+            # the tunneled runtime. The two-program form is stable under
+            # dispatch-ahead pipelining.
             maps = self._forward_maps(self._flat_params,
                                       self._prep_images(images_uint8))
             return non_max_suppression_from_maps(

@@ -44,9 +44,9 @@ def run(weights="", source="", cfg="yolov5n-seg", imgsz=640, conf_thres=0.25,
         maps, proto = model.apply(v, x, train=False)
         return model.decode(maps), proto
 
-    # host pre-pack (layers.pack_s2d): the packed stem consumes the 5D form
-    # in place, skipping the in-graph s2d fold (pure layout copies) — same
-    # as infer.Detector / eval / train
+    # host pre-pack (layers.fold_s2d): the packed stem consumes the folded
+    # form in place, skipping the in-graph s2d fold (pure layout copies) —
+    # same as infer.Detector / eval / train
     wants_packed = (hasattr(model, "wants_packed_input")
                     and model.wants_packed_input(imgsz, imgsz))
 
@@ -54,9 +54,9 @@ def run(weights="", source="", cfg="yolov5n-seg", imgsz=640, conf_thres=0.25,
     for path, im, im0, meta_s in LoadImages(source, img_size=imgsz):
         im_in = im[None]
         if wants_packed:
-            from yolov5_tpu.models.layers import pack_s2d
+            from yolov5_tpu.models.layers import fold_s2d
 
-            im_in = np.ascontiguousarray(pack_s2d(im_in))
+            im_in = np.ascontiguousarray(fold_s2d(im_in))
         preds, proto = forward(variables, jnp.asarray(im_in))
         dets = non_max_suppression(preds, conf_thres=conf_thres,
                                    iou_thres=iou_thres, max_det=max_det,

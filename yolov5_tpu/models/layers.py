@@ -107,6 +107,19 @@ def pack_s2d(images):
             .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4, c))
 
 
+def fold_s2d(images):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) folded space-to-depth form (same
+    packed channel order as _space_to_depth2 / pack_s2d). The preferred
+    host-pipeline pre-pack on TPU: unlike the 5D marker form, it needs no
+    in-graph reshape at all (the 5D form's minor (4, C) dims tile-pad, so
+    reshaping it to 4C inside the program is a real re-tiling copy).
+    Unambiguous at the model boundary because a canonical input always has
+    C == in_ch. Works on numpy and jnp arrays alike."""
+    b, h, w, c = images.shape
+    return (images.reshape(b, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c))
+
+
 def unpack_s2d(packed):
     """Inverse of pack_s2d: (B, H/2, W/2, 4, C) -> (B, H, W, C)."""
     b, h2, w2, _, c = packed.shape
@@ -263,19 +276,25 @@ class Conv(nn.Module):
         """Both packed stem flavors; declares the exact nn.Conv/nn.BatchNorm
         param tree the plain path would."""
         m0, m1 = _stem_pack_maps()
-        if self.pack == "stem0":
-            # a 5D (B, H/2, W/2, 4, C) input is pre-packed by the data
-            # pipeline (pack_s2d): the in-graph transpose — ~4 ms/step of
-            # pure layout copies at 640 b32 since the image is a parameter
-            # XLA can't fuse into — collapses to a free contiguous reshape
+        if self.pack in ("stem0", "stem0f"):
+            # pre-packed input from the data pipeline: "stem0f" means the
+            # folded 4D (B, H/2, W/2, 4C) form (layers.fold_s2d) — consumed
+            # as-is, zero in-graph data movement; a 5D (B, H/2, W/2, 4, C)
+            # marker (layers.pack_s2d) is reshaped (a re-tiling copy on TPU
+            # — the folded form exists to avoid it); a canonical 4D image
+            # pays the in-graph s2d fold (~4 ms/step of pure layout copies
+            # at 640 b32 since the image is a parameter XLA can't fuse into)
+            folded_in = self.pack == "stem0f"
             packed_in = x.ndim == 5
-            ci = x.shape[-1]
+            ci = x.shape[-1] // 4 if folded_in else x.shape[-1]
             kernel, bias = _ConvParams(self.c2, (self.k, self.k, ci),
                                        use_bias=self.fused, name="conv")()
             kp = jnp.einsum("abtupq,abio->tupiqo", jnp.asarray(m0, self.dtype),
                             kernel.astype(self.dtype))
             kp = kp.reshape(4, 4, 4 * ci, 4 * self.c2)
-            if packed_in:
+            if folded_in:
+                xp = x.astype(self.dtype)
+            elif packed_in:
                 b, h2, w2, _, c = x.shape
                 xp = x.astype(self.dtype).reshape(b, h2, w2, 4 * c)
             else:

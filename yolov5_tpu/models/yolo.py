@@ -335,6 +335,7 @@ class YOLOGraph(nn.Module):
     fused: bool = False
     dtype: Any = jnp.float32
     packed_stem: bool = False
+    in_ch: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -342,27 +343,41 @@ class YOLOGraph(nn.Module):
         out = x
         # packed stem needs H, W divisible by 4 (one s2d + one /2 conv);
         # every stride-32-checked input qualifies, odd probes fall back.
-        # A 5D (B, H/2, W/2, 4, C) input was s2d-packed by the pipeline
-        # (layers.pack_s2d) — consumed in place by stem0 when the stem is
-        # packable, unpacked back to canonical otherwise.
+        # Pre-packed inputs from the pipeline come in two equivalent forms,
+        # consumed in place by stem0 when the stem is packable, unpacked
+        # back to canonical otherwise:
+        #   - 5D (B, H/2, W/2, 4, C)  (layers.pack_s2d) — the original
+        #     unambiguous marker form;
+        #   - folded 4D (B, H/2, W/2, 4C) (layers.fold_s2d) — preferred on
+        #     TPU: the 5D form's minor (4, C) dims tile-pad, so its in-graph
+        #     reshape to 4C is a real re-tiling copy (~13% of the serving
+        #     forward HLO); the folded form needs no in-graph reshape at
+        #     all. Unambiguous because a canonical input always has
+        #     C == in_ch, so C == 4*in_ch can only mean s2d-folded.
+        c_in = self.in_ch
+        folded = x.ndim == 4 and x.shape[-1] == 4 * c_in
         packs = {}
         if (self.packed_stem and _stem_packable(self.specs, self.save)
-                and ((x.ndim == 4 and x.shape[1] % 4 == 0
+                and ((x.ndim == 4 and not folded and x.shape[1] % 4 == 0
                       and x.shape[2] % 4 == 0)
-                     or (x.ndim == 5 and x.shape[1] % 2 == 0
+                     or ((x.ndim == 5 or folded) and x.shape[1] % 2 == 0
                          and x.shape[2] % 2 == 0))):
-            packs = {0: "stem0", 1: "stem1"}
+            packs = {0: "stem0f" if folded else "stem0", 1: "stem1"}
             # extend the packed region through layers 2-3 (C3 in s2d
             # coordinates) when the graph and the input size (one more /2
             # of the packed grid) allow it: layer 1 keeps its output
             # packed, layer 3 plays the "stem1" role
             h, w = x.shape[1:3]
-            div = 8 if x.ndim == 4 else 4
+            div = 8 if (x.ndim == 4 and not folded) else 4
             if (_c3_packable(self.specs, self.save)
                     and h % div == 0 and w % div == 0):
-                packs = {0: "stem0", 1: "pp", 2: "pp", 3: "stem1"}
+                packs = {0: "stem0f" if folded else "stem0",
+                         1: "pp", 2: "pp", 3: "stem1"}
         elif x.ndim == 5:
             out = x = L.unpack_s2d(x)
+        elif folded:
+            b, h2, w2, _ = x.shape
+            out = x = L.unpack_s2d(x.reshape(b, h2, w2, 4, c_in))
         for spec in self.specs:
             if len(spec.frm) == 1:
                 inp = out if spec.frm[0] == -1 else saved[spec.frm[0]]
@@ -476,7 +491,8 @@ class DetectionModel:
         if packed_stem is None:
             packed_stem = _packed_stem_default()
         self.module = YOLOGraph(tuple(self.specs), self.save, fused=fused,
-                                dtype=dtype, packed_stem=packed_stem)
+                                dtype=dtype, packed_stem=packed_stem,
+                                in_ch=ch)
         self.head_spec = self.specs[-1]
 
         # init params at a small size (param shapes don't depend on H/W), then
@@ -516,10 +532,12 @@ class DetectionModel:
 
     def wants_packed_input(self, h, w):
         """True when the input pipeline should pre-pack (B,H,W,C) images to
-        the 5D s2d form (layers.pack_s2d): the packed stem then consumes
-        them with zero in-graph layout copies (~4 ms/step @640 b32). Safe
-        to call blindly — feeding packed input when this is False still
-        computes correctly (YOLOGraph unpacks), it just pays the transpose."""
+        the folded s2d form (layers.fold_s2d, (B,H/2,W/2,4C); the 5D
+        pack_s2d marker form is also accepted): the packed stem then
+        consumes them with zero in-graph data movement (~4 ms/step @640
+        b32). Safe to call blindly — feeding packed input when this is
+        False still computes correctly (YOLOGraph unpacks), it just pays
+        the transpose."""
         return (self.module.packed_stem
                 and _stem_packable(self.specs, self.save)
                 and h % 4 == 0 and w % 4 == 0)
@@ -563,7 +581,7 @@ class ClassificationModel:
         if packed_stem is None:
             packed_stem = _packed_stem_default()
         self.module = YOLOGraph(tuple(specs), save, fused=fused, dtype=dtype,
-                                packed_stem=packed_stem)
+                                packed_stem=packed_stem, in_ch=ch)
         self.variables = _eager_init(self.module, seed, ch, dtype)
         self.stride = (32,)
         self.names = {i: f"class{i}" for i in range(nc)}

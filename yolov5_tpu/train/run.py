@@ -434,12 +434,12 @@ def run(
                 if not device_aug:
                     im = batch["images"]
                     # pre-pack in the prefetch worker (overlapped with the
-                    # device step): the packed stem consumes the 5D form with
-                    # zero in-graph layout copies (models/layers.pack_s2d)
+                    # device step): the packed stem consumes the folded form
+                    # with zero in-graph data movement (models/layers.fold_s2d)
                     if im.ndim == 4 and model.wants_packed_input(*im.shape[1:3]):
-                        from yolov5_tpu.models.layers import pack_s2d
+                        from yolov5_tpu.models.layers import fold_s2d
 
-                        batch["images"] = np.ascontiguousarray(pack_s2d(im))
+                        batch["images"] = np.ascontiguousarray(fold_s2d(im))
                 return batch
 
             # double-buffered: host prep + H2D run 2 batches ahead of the step

@@ -155,16 +155,16 @@ def evaluate_segment(model, variables, loader, conf_thres=0.001, iou_thres=0.6,
 
     stats_box, stats_mask = [], []
     n_images = 0
-    # host pre-pack (layers.pack_s2d): skip the in-graph s2d input fold —
+    # host pre-pack (layers.fold_s2d): skip the in-graph s2d input fold —
     # same as eval/evaluator.py
     can_pack = hasattr(model, "wants_packed_input")
     for batch in loader:
         im_np = batch["images"]
         if can_pack and model.wants_packed_input(int(im_np.shape[1]),
                                                  int(im_np.shape[2])):
-            from yolov5_tpu.models.layers import pack_s2d
+            from yolov5_tpu.models.layers import fold_s2d
 
-            im_np = np.ascontiguousarray(pack_s2d(np.asarray(im_np)))
+            im_np = np.ascontiguousarray(fold_s2d(np.asarray(im_np)))
         images = jnp.asarray(im_np)
         preds, proto = forward(variables, images)
         dets = non_max_suppression(preds, conf_thres=conf_thres,
