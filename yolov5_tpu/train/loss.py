@@ -162,9 +162,17 @@ class ComputeLoss:
             iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None) * m_flat
             tobj = jnp.zeros((bs, ny * nx * na), f32)
             tobj = jax.vmap(lambda t, l, v: t.at[l].max(v))(tobj, lin_flat, iou_d)
-            # obj logits via strided channel slice of the conv output
-            # (channel a*no+4) — ordering (spatial, anchor) matches lin above
-            pobj = pred2d[:, :, 4::no].reshape(bs, -1).astype(f32)
+            # obj logits via a 0/1 selection-matrix dot over the conv
+            # output's channel dim (channel a*no+4) — ordering (spatial,
+            # anchor) matches lin above. Exact (one term per output, f32
+            # accumulate); an MXU dot reads pred2d in its native layout,
+            # where the strided slice forced a full relayout copy of the
+            # (bs, ny*nx, na*no) map (~1.4% of the train step at b32@640).
+            sel = jnp.zeros((na * no, na), pred2d.dtype).at[
+                jnp.arange(na) * no + 4, jnp.arange(na)].set(1)
+            pobj = jax.lax.dot_general(
+                pred2d, sel, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).reshape(bs, -1)
             obj_bce = bce_with_logits(pobj, tobj, hyp.get("obj_pw", 1.0))
             if fl_gamma > 0:
                 obj_bce = obj_bce * fscale(pobj, tobj, fl_gamma)
